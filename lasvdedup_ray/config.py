@@ -1,0 +1,128 @@
+"""Pipeline configuration.
+
+Mirrors the *semantics* of the reference's layered YAML config
+(``lasvdedup/config.yaml:1-41``, ``lasvdedup/utils/config_setup.py:102-204``):
+per-partition-class thresholds (reference: per segment L/S; here: per ``lang``),
+a ranking policy (reference: ``SELECTION_COLUMNS`` + ``LENGTH_COLUMN``,
+``config.yaml:27-30``), and a grouping policy — re-expressed as frozen
+dataclasses instead of a nested dict merge.  Priority order (CLI > custom >
+default) is provided by ``PipelineConfig.with_overrides``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
+
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash MinHash permutations.
+MERSENNE_61 = (1 << 61) - 1
+MAX_HASH_32 = (1 << 32) - 1
+
+
+@dataclass(frozen=True)
+class SignatureConfig:
+    """k-shingle MinHash + SimHash parameters.
+
+    ``num_perms = bands * rows`` must hold.  The (bands, rows) split sets the
+    LSH S-curve: detection probability of a pair with Jaccard ``s`` is
+    ``1 - (1 - s^rows)^bands``.  Defaults: 32 bands x 4 rows = 128 perms —
+    at the default tau=0.2 boundary (J=0.8) detection probability is
+    1-(1-0.8^4)^32 ≈ 1-5e-8, which is what makes dup-pair recall >= 0.99
+    achievable AT the threshold (16x8 would detect only ~95% there).
+    False-positive candidates from the flatter curve are removed by
+    signature verification + the exact-Jaccard borderline re-check.
+    """
+
+    k: int = 5                 # shingle width (characters, post-normalization)
+    num_perms: int = 128
+    bands: int = 32
+    rows: int = 4
+    seed: int = 42
+    lowercase: bool = True     # normalization applied only for shingling;
+    collapse_ws: bool = True   # stored content stays byte-identical (sha256 invariant)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows != self.num_perms:
+            raise ValueError(
+                f"bands*rows ({self.bands}*{self.rows}) != num_perms ({self.num_perms})"
+            )
+        if self.k < 1:
+            raise ValueError("shingle width k must be >= 1")
+
+
+@dataclass(frozen=True)
+class ClassThresholds:
+    """Per-partition-class decision thresholds.
+
+    Reference analogs (``lasvdedup/config.yaml:31-41``): ``tau`` <-> PWD
+    (pairwise-distance threshold, inclusive ``<=`` per
+    ``sequence_grouping.py:53``), ``min_neighborhood`` <-> CLADE_SIZE,
+    ``z_threshold`` <-> Z_THRESHOLD, ``target_length`` <-> TARGET_LENGTH.
+    """
+
+    tau: float = 0.2              # Jaccard-distance threshold (d <= tau ⇒ candidate dup)
+    min_neighborhood: int = 8     # "small clade" size bound (reference CLADE_SIZE=8)
+    z_threshold: float = 2.0      # MAD multiplier for outlier rejection
+    target_length: int = 4000     # preferred content length for ranking
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """Candidate-generation knobs: skew salting and band caps.
+
+    ``band_cap``: a band bucket with more than this many members (boilerplate /
+    license-header skew — the known hot keys) is not expanded all-vs-all
+    (O(m^2)); members are linked to their ``cap_neighbors`` nearest neighbors
+    in SimHash order instead, and the truncation is logged in the metrics
+    table (north_rule: capped bands must not silently drop true dup pairs).
+    """
+
+    band_cap: int = 256
+    cap_neighbors: int = 4
+    pair_batch_rows: int = 65536
+    # pairs with |est_distance - tau| <= exact_margin get an exact-Jaccard
+    # re-check (content join): removes MinHash estimator noise at the
+    # inclusive <= boundary the reference pins (sequence_grouping.py:53)
+    exact_verify: bool = True
+    exact_margin: float = 0.1
+
+
+@dataclass(frozen=True)
+class ExecutionConfig:
+    """Per-stage physical knobs, sized for a 32-CPU node by default."""
+
+    batch_size: int = 1024            # rows per batch into the signer actor pool
+    signer_concurrency: Tuple[int, int] = (2, 8)
+    prepare_batch_size: int = 4096
+    dsu_edge_limit: int = 2_000_000   # above this, use distributed label propagation
+    max_label_rounds: int = 50
+    target_max_block_size: Optional[int] = None  # None = Ray default (128 MiB)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    signature: SignatureConfig = field(default_factory=SignatureConfig)
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    execution: ExecutionConfig = field(default_factory=ExecutionConfig)
+    default_thresholds: ClassThresholds = field(default_factory=ClassThresholds)
+    # per-lang overrides, reference's per-segment THRESHOLDS (config.yaml:31-41)
+    lang_thresholds: Mapping[str, ClassThresholds] = field(default_factory=dict)
+    # ranking: sort by [len_distance ASC] + [these DESC] + [id ASC]
+    # (reference io_utils.py:48-55; tie-break on id is stricter than the
+    # reference's insertion-order min() — Ray block order is nondeterministic)
+    selection_columns: Sequence[str] = ("n_lines",)
+    checkpoint_dir: Optional[str] = None
+
+    def thresholds_for(self, lang: Optional[str]) -> ClassThresholds:
+        if lang is not None and lang in self.lang_thresholds:
+            return self.lang_thresholds[lang]
+        return self.default_thresholds
+
+    def with_overrides(self, **kwargs: Any) -> "PipelineConfig":
+        """CLI/custom-over-default layering (config_setup.py:102-204 analog)."""
+        return dataclasses.replace(self, **kwargs)
+
+
+DEFAULT_CONFIG = PipelineConfig()

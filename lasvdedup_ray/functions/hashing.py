@@ -1,0 +1,153 @@
+"""Vectorized hashing kernels (pure numpy, no Ray dependency).
+
+These are the hot-path primitives: everything operates on whole batches /
+arrays, never per-Python-row.  Replaces the reference's pairwise alignment
+distance oracle (``lasvdedup/utils/distance_matrix.py:10-20``) with content
+hashing + shingle hashing that scales linearly in corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+U64 = np.uint64
+_POLY_MULT = U64(1099511628211)        # FNV-ish odd multiplier for rolling hash
+_MIX_M1 = U64(0xBF58476D1CE4E5B9)      # splitmix64 constants (public domain)
+_MIX_M2 = U64(0x94D049BB133111EB)
+_BAND_MULT = U64(0x9E3779B97F4A7C15)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates structured polynomial hashes."""
+    x = (x + U64(0x9E3779B97F4A7C15)).astype(U64, copy=False)
+    x ^= x >> U64(30)
+    x = x * _MIX_M1
+    x ^= x >> U64(27)
+    x = x * _MIX_M2
+    x ^= x >> U64(31)
+    return x
+
+
+def sha256_bytes(values: Iterable[bytes]) -> List[bytes]:
+    """sha256 digest per value.  hashlib releases the GIL-heavy work to C;
+    the Python loop is unavoidable (no vectorized sha256 kernel in pyarrow)
+    but is cheap relative to the digest itself."""
+    d = hashlib.sha256
+    return [d(v).digest() for v in values]
+
+
+def shingle_hashes(data: bytes, k: int) -> np.ndarray:
+    """Unique 64-bit hashes of all character k-grams of ``data``.
+
+    Vectorized rolling polynomial hash over a sliding byte window, finalized
+    with splitmix64.  Documents shorter than ``k`` hash their whole content
+    as a single shingle (so empty/short docs still compare equal to their
+    exact copies).
+    """
+    n = len(data)
+    if n < k:
+        h = np.frombuffer(hashlib.blake2b(data, digest_size=8).digest(), dtype=U64)
+        return splitmix64(h.copy())
+    arr = np.frombuffer(data, dtype=np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, k).astype(U64)
+    pows = _POLY_MULT ** np.arange(k - 1, -1, -1, dtype=U64)  # wraparound mod 2^64
+    raw = (win * pows).sum(axis=1, dtype=U64)
+    return np.unique(splitmix64(raw))
+
+
+def minhash_permutation_params(num_perms: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(a, b) parameters for ``num_perms`` multiplicative-universal hashes
+    over Z_{2^64} (odd multipliers; natural uint64 wraparound — the standard
+    practical MinHash family, avoids the 61-bit-prime modular overflow)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 63, size=num_perms, dtype=np.uint64) * U64(2) + U64(1)
+    b = rng.integers(0, 1 << 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    hash_concat: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    perm_chunk: int = 32,
+) -> np.ndarray:
+    """MinHash signatures for many documents at once.
+
+    ``hash_concat``: uint64 shingle hashes of ALL docs in the batch,
+    concatenated; ``offsets``: start index of each doc (len = n_docs,
+    offsets[0] == 0).  Returns uint32 array (n_docs, num_perms): the top 32
+    bits of the minimum permuted hash per doc per permutation — compact
+    signatures (4 bytes/slot) at datasketch-equivalent fidelity.
+
+    Fully vectorized: permutations applied in chunks of ``perm_chunk`` to a
+    (chunk, total_shingles) matrix, reduced per doc with
+    ``np.minimum.reduceat`` — no per-document Python loop.
+    """
+    num_perms = a.shape[0]
+    n_docs = offsets.shape[0]
+    out = np.empty((n_docs, num_perms), dtype=np.uint32)
+    if hash_concat.shape[0] == 0:
+        out.fill(0)
+        return out
+    for p0 in range(0, num_perms, perm_chunk):
+        p1 = min(p0 + perm_chunk, num_perms)
+        # (chunk, total): wraparound multiply-add
+        phi = a[p0:p1, None] * hash_concat[None, :] + b[p0:p1, None]
+        mins = np.minimum.reduceat(phi, offsets, axis=1)
+        out[:, p0:p1] = (mins >> U64(32)).astype(np.uint32).T
+    return out
+
+
+def simhash_values(
+    hash_concat: np.ndarray,
+    offsets: np.ndarray,
+    counts: np.ndarray,
+) -> np.ndarray:
+    """64-bit SimHash per document from its shingle hashes.
+
+    Bit j of the result is 1 iff more than half the doc's shingle hashes
+    have bit j set.  Vectorized via a (total, 64) bit matrix reduced with
+    ``np.add.reduceat``.
+    """
+    n_docs = offsets.shape[0]
+    if hash_concat.shape[0] == 0:
+        return np.zeros(n_docs, dtype=U64)
+    shifts = np.arange(64, dtype=U64)
+    bits = ((hash_concat[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)
+    sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 64)
+    majority = (2 * sums) > counts[:, None]
+    weights = (U64(1) << shifts).astype(U64)
+    return (majority.astype(U64) * weights[None, :]).sum(axis=1, dtype=U64)
+
+
+def band_hashes(signatures: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band hashes: (n_docs, bands) uint64.
+
+    Each band's ``rows`` uint32 signature slots are folded with a
+    multiply-xor chain then splitmix64-finalized, so equal band hashes imply
+    (w.h.p.) equal band slots.
+    """
+    n = signatures.shape[0]
+    sig = signatures.reshape(n, bands, rows).astype(U64)
+    h = np.zeros((n, bands), dtype=U64)
+    for j in range(rows):
+        h = h * _BAND_MULT + sig[:, :, j]
+    return splitmix64(h ^ U64(rows))
+
+
+def estimated_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Fraction of equal signature slots — unbiased Jaccard estimate.
+    Accepts (..., num_perms) arrays; broadcasts."""
+    return (sig_a == sig_b).mean(axis=-1)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise Hamming distance between uint64 SimHash values (vectorized
+    popcount via byte-view + unpackbits)."""
+    x = np.bitwise_xor(a, b)
+    bytes_view = x.astype(U64).view(np.uint8).reshape(*x.shape, 8)
+    return np.unpackbits(bytes_view, axis=-1).sum(axis=-1).astype(np.int64)

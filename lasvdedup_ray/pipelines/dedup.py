@@ -1,0 +1,172 @@
+"""The flagship pipeline: near-duplicate detection + clustering +
+classification over a Parquet source-code table.
+
+Ray-Data-first rebuild of the reference's analytical core
+(``lasvdedup/utils/determine_duplicates.py:52-153``), per SURVEY §3:
+
+    read_parquet
+      -> prepare             (map_batches: id, sha256, stats)        [stateless]
+      -> exact dedup         (groupby sha_hex: reps + 0-dist edges)  [1 content shuffle]
+      -> MinHashSigner       (actor pool, signatures per distinct content)
+      -> LSH candidate gen   (band groupby: verified pairs)          [slim shuffle]
+      -> union-find          (driver DSU / distributed label prop)
+      -> classification      (groupby cluster_id: 5-case decision tree)
+      -> write_parquet       (partitioned by classification) + metrics
+
+Everything between the signer and the final content re-join shuffles ONLY
+ids + signatures (content projected out — SURVEY §7 "very wide rows").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import PipelineConfig
+from ..stages.classify import classify_clusters
+from ..stages.exact import exact_dup_edges, exact_representatives
+from ..stages.lsh import band_stats, candidate_pairs
+from ..stages.prepare import prepare
+from ..stages.signatures import add_signatures
+from ..stages.verify import verify_pairs
+from ..state.checkpoint import StageCheckpointer
+from ..state.unionfind import assign_clusters
+
+SLIM_COLS = ["id", "sha_hex", "lang", "n_chars", "n_lines", "sha256"]
+
+
+def candidate_tau(config: PipelineConfig) -> float:
+    """Candidate-generation threshold: the loosest tau across partition
+    classes, so no per-lang threshold can lose candidates; the per-lang tau
+    is applied in classification."""
+    taus = [config.default_thresholds.tau] + [
+        t.tau for t in config.lang_thresholds.values()
+    ]
+    return max(taus)
+
+
+def dedup_pipeline(
+    ds: ray.data.Dataset,
+    config: Optional[PipelineConfig] = None,
+    num_partitions: int = 32,
+    force_distributed_components: bool = False,
+) -> ray.data.Dataset:
+    """Full dedup: returns the classification Dataset (RESULT_SCHEMA:
+    id, cluster_id, classification, decision_category, is_representative,
+    rank, group_members, reason, sha256, lang)."""
+    config = config or PipelineConfig()
+    ex = config.execution
+    ck = StageCheckpointer(config.checkpoint_dir)
+
+    # pin at fan-out points: Ray Data re-executes a lazy subplan once per
+    # consumer, so each stage consumed twice is checkpointed/materialized
+    prepared = ck.pin(prepare(ds, batch_size=ex.prepare_batch_size), "prepared")
+    slim_all = prepared.select_columns(SLIM_COLS)
+
+    # exact fast path: sign one row per distinct content
+    reps = exact_representatives(prepared)
+    e_edges = exact_dup_edges(slim_all)
+
+    signed = ck.pin(
+        add_signatures(
+            reps,
+            cfg=config.signature,
+            batch_size=ex.batch_size,
+            concurrency=ex.signer_concurrency,
+        ),
+        "signed",
+    )
+    signed_slim = signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+
+    tau = candidate_tau(config)
+    emit_tau = tau + (config.lsh.exact_margin if config.lsh.exact_verify else 0.0)
+    raw_pairs = candidate_pairs(
+        signed_slim.select_columns(["id", "minhash", "simhash"]),
+        config.signature,
+        config.lsh,
+        tau=emit_tau,
+    )
+    near_edges = verify_pairs(
+        raw_pairs,
+        signed.select_columns(["id", "content"]),
+        config.signature,
+        config.lsh,
+        tau=tau,
+        num_partitions=num_partitions,
+    )
+    edges = ck.pin(near_edges.union(e_edges), "edges")
+
+    # propagate the (identical) signature of each sha-representative to every
+    # member row: slim hash join on sha_hex
+    sig_by_sha = signed_slim.select_columns(["sha_hex", "minhash", "simhash"])
+    meta = slim_all.join(
+        sig_by_sha,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("sha_hex",),
+    )
+
+    clustered = assign_clusters(
+        meta,
+        edges,
+        dsu_edge_limit=ex.dsu_edge_limit,
+        max_rounds=ex.max_label_rounds,
+        num_partitions=num_partitions,
+        force_distributed=force_distributed_components,
+    )
+    return classify_clusters(clustered, config)
+
+
+def attach_content(
+    results: ray.data.Dataset,
+    prepared: ray.data.Dataset,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Join classification results back to original content by id (hash
+    shuffle join — the reference's write-time classification<->sequence join,
+    ``io_utils.py:135-144``).  Surviving rows preserve content byte-for-byte
+    (sha256 invariant)."""
+    content = prepared.select_columns(["id", "repo", "path", "commit", "content"])
+    return results.join(
+        content, join_type="inner", num_partitions=num_partitions, on=("id",)
+    )
+
+
+def survivors(results_with_content: ray.data.Dataset) -> ray.data.Dataset:
+    """Rows the dedup keeps: classification in {keep, distinct} (the
+    reference routes GOOD and COINFECTION to the good/ dir,
+    ``classification.py:167-173``)."""
+    return results_with_content.map_batches(
+        lambda t: t.filter(
+            pc.is_in(t["classification"], value_set=pa.array(["keep", "distinct"]))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def write_results(
+    results: ray.data.Dataset,
+    out_dir: str,
+) -> None:
+    """Partitioned Parquet sink (one directory per classification — the
+    reference's good/bad dir routing, ``io_utils.py:85-144``); resumable by
+    partition."""
+    # group_members is list-typed: keep pyarrow end-to-end
+    results.write_parquet(out_dir, partition_cols=["classification"])
+
+
+def dedup_metrics(
+    signed_slim: ray.data.Dataset,
+    config: PipelineConfig,
+) -> ray.data.Dataset:
+    """Lineage/metrics rows: band bucket-size histogram + dropped-pair
+    accounting (north_rule: per-partition lineage + row-count/signature
+    metrics)."""
+    return band_stats(
+        signed_slim.select_columns(["id", "minhash", "simhash"]),
+        config.signature,
+        config.lsh,
+    )

@@ -1,0 +1,225 @@
+"""Per-cluster classification: the reference decision tree as ``map_groups``.
+
+Semantics rebuilt from ``lasvdedup/utils/sequence_grouping.py:185-353``
+(classify_sample) and ``lasvdedup/utils/distance_matrix.py:45-72``
+(get_outliers), with these analogies:
+
+- sample group            -> connected-component cluster (``cluster_id``)
+- pairwise patristic dist -> estimated Jaccard distance from MinHash sigs
+- MRCA clade size         -> cluster size (component neighborhood)
+- root-to-tip clade depth -> distance to the best-ranked representative
+- GOOD / BAD / COINFECTION -> keep / duplicate / distinct
+
+Decision cases (same order, same inclusive/strict boundaries):
+1. singleton                          -> keep / SingleSequence   (ref :209-221)
+2. all pairwise d <= tau (inclusive,
+   ``sequence_grouping.py:53``)       -> best keep, rest duplicate / BelowThreshold (:226-252)
+3. cluster size <= min_neighborhood   -> best keep, rest duplicate / SmallClade (:257-286)
+4. MAD outliers (strict ``>``, MAD==0
+   fallback thr = median + tau/z,
+   ``distance_matrix.py:53-59``; all-
+   outliers fallback :297-300)        -> best non-outlier keep, rest duplicate / OutliersDetected
+5. else                               -> all distinct / TrueCoinfection (:339-351)
+
+Ranking (reference ``io_utils.py:48-55``): stable sort by
+[abs(n_chars - target_length) ASC] + [selection columns DESC] + [id ASC];
+the explicit id tie-break replaces the reference's insertion-order ``min()``
+(``sequence_grouping.py:87``) because Ray block order is nondeterministic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import ClassThresholds, PipelineConfig
+from .signatures import sigs_to_matrix
+
+RESULT_FIELDS = [
+    ("id", pa.string()),
+    ("cluster_id", pa.string()),
+    ("classification", pa.string()),
+    ("decision_category", pa.string()),
+    ("is_representative", pa.bool_()),
+    ("rank", pa.int64()),
+    ("group_members", pa.list_(pa.string())),
+    ("reason", pa.string()),
+    ("sha256", pa.binary()),
+    ("lang", pa.string()),
+]
+RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+KEEP, DUPLICATE, DISTINCT = "keep", "duplicate", "distinct"
+# decision categories — same five names as the reference enum
+# (classification.py:16-22)
+SINGLE, BELOW, SMALL, OUTLIERS, COINF = (
+    "SingleSequence",
+    "BelowThreshold",
+    "SmallClade",
+    "OutliersDetected",
+    "TrueCoinfection",
+)
+
+# above this cluster size, skip the O(g^2) all-pairs check (Case 2 can only
+# be decided negatively for huge clusters anyway in practice) and the full
+# member list in group_members
+PAIRWISE_CAP = 4096
+MEMBER_LIST_CAP = 100
+
+
+def compute_ranks(
+    n_chars: np.ndarray,
+    ids: np.ndarray,
+    selection: Sequence[np.ndarray],
+    target_length: int,
+) -> np.ndarray:
+    """rank[i] = 1-based position in the sort order (1 = best)."""
+    len_dist = np.abs(n_chars.astype(np.int64) - target_length)
+    # np.lexsort: last key is primary
+    keys: List[np.ndarray] = [ids]
+    for s in reversed(list(selection)):
+        keys.append(-s.astype(np.float64))
+    keys.append(len_dist)
+    order = np.lexsort(tuple(keys))
+    ranks = np.empty(len(ids), dtype=np.int64)
+    ranks[order] = np.arange(1, len(ids) + 1)
+    return ranks
+
+
+def make_cluster_classifier(config: PipelineConfig):
+    sig_cfg = config.signature
+    sel_cols = list(config.selection_columns)
+
+    def classify_group(g: pa.Table) -> pa.Table:
+        m = g.num_rows
+        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
+        cluster_id = g.column("cluster_id")[0].as_py()
+        langs = g.column("lang").to_pylist()
+        sha = g.column("sha256").to_pylist()
+        n_chars = g.column("n_chars").to_numpy(zero_copy_only=False)
+
+        # thresholds by majority lang of the cluster (reference: per-segment)
+        lang_mode = max(set(langs), key=langs.count) if langs else None
+        th: ClassThresholds = config.thresholds_for(lang_mode)
+
+        selection = [
+            g.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in sel_cols
+        ]
+        ranks = compute_ranks(n_chars, ids.astype(str), selection, th.target_length)
+        best_idx = int(np.argmin(ranks))
+        members = list(map(str, ids)) if m <= MEMBER_LIST_CAP else []
+
+        def out(cls, cat, reasons, rep_idx):
+            return pa.table(
+                {
+                    "id": pa.array(list(map(str, ids)), pa.string()),
+                    "cluster_id": pa.array([cluster_id] * m, pa.string()),
+                    "classification": pa.array(cls, pa.string()),
+                    "decision_category": pa.array([cat] * m, pa.string()),
+                    "is_representative": pa.array(
+                        [i == rep_idx for i in range(m)], pa.bool_()
+                    ),
+                    "rank": pa.array(ranks, pa.int64()),
+                    "group_members": pa.array([members] * m, pa.list_(pa.string())),
+                    "reason": pa.array(reasons, pa.string()),
+                    "sha256": pa.array(sha, pa.binary()),
+                    "lang": pa.array(langs, pa.string()),
+                },
+                schema=RESULT_SCHEMA,
+            )
+
+        # Case 1: singleton
+        if m <= 1:
+            return out([KEEP] * m, SINGLE, ["Single sequence in cluster"] * m, 0)
+
+        sigs = sigs_to_matrix(g.column("minhash").to_pylist(), sig_cfg.num_perms)
+        best_id = str(ids[best_idx])
+
+        # Case 2: all pairwise distances <= tau (inclusive)
+        if m <= PAIRWISE_CAP:
+            iu, ju = np.triu_indices(m, k=1)
+            dists = 1.0 - (sigs[iu] == sigs[ju]).mean(axis=1)
+            if dists.size == 0 or np.all(dists <= th.tau):
+                cls = [DUPLICATE] * m
+                cls[best_idx] = KEEP
+                reasons = [
+                    f"Duplicate of {best_id} (distance <= {th.tau})" for _ in range(m)
+                ]
+                reasons[best_idx] = (
+                    f"Selected as best representative (rank 1) from nearly "
+                    f"identical sequences (distances <= {th.tau})"
+                )
+                return out(cls, BELOW, reasons, best_idx)
+
+        # Case 3: small neighborhood (reference: small MRCA clade)
+        if m <= th.min_neighborhood:
+            cls = [DUPLICATE] * m
+            cls[best_idx] = KEEP
+            reasons = [
+                f"Likely false positive with small cluster size ({m} <= "
+                f"{th.min_neighborhood}), {best_id} selected instead"
+                for _ in range(m)
+            ]
+            reasons[best_idx] = (
+                f"Small cluster size ({m} <= {th.min_neighborhood}) indicating "
+                f"likely false positive, selected as representative"
+            )
+            return out(cls, SMALL, reasons, best_idx)
+
+        # Case 4: MAD outliers over distance-to-representative
+        d_rep = 1.0 - (sigs == sigs[best_idx]).mean(axis=1)
+        median = float(np.median(d_rep))
+        mad = float(np.median(np.abs(d_rep - median)))
+        if mad == 0:
+            thr = median + th.tau / th.z_threshold  # MAD==0 fallback (distance_matrix.py:56-59)
+        else:
+            thr = median + th.z_threshold * mad
+        outlier_mask = d_rep > thr  # strict > (distance_matrix.py:65)
+        if outlier_mask.any():
+            non_out = np.where(~outlier_mask)[0]
+            pool = non_out if non_out.size else np.arange(m)  # all-outliers fallback (:297-300)
+            rep_idx = int(pool[np.argmin(ranks[pool])])
+            rep_id = str(ids[rep_idx])
+            cls, reasons = [], []
+            for i in range(m):
+                if i == rep_idx:
+                    cls.append(KEEP)
+                    reasons.append(
+                        "Outliers detected, selected as best non-outlier sequence"
+                    )
+                elif outlier_mask[i]:
+                    cls.append(DUPLICATE)
+                    reasons.append(
+                        f"Identified as outlier (distance - median: "
+                        f"{d_rep[i] - median:.4f}, threshold: {thr:.4f}), "
+                        f"{rep_id} selected instead"
+                    )
+                else:
+                    cls.append(DUPLICATE)
+                    reasons.append(
+                        f"Non-outlier but with lower rank than {rep_id}"
+                    )
+            return out(cls, OUTLIERS, reasons, rep_idx)
+
+        # Case 5: true coinfection analog — genuinely distinct cluster
+        reasons = [
+            f"True distinct cluster: size ({m} > {th.min_neighborhood}) and no "
+            f"outliers detected"
+        ] * m
+        return out([DISTINCT] * m, COINF, reasons, best_idx)
+
+    return classify_group
+
+
+def classify_clusters(
+    clustered: ray.data.Dataset, config: Optional[PipelineConfig] = None
+) -> ray.data.Dataset:
+    """Groupby cluster_id shuffle + per-cluster decision tree."""
+    config = config or PipelineConfig()
+    return clustered.groupby("cluster_id").map_groups(
+        make_cluster_classifier(config), batch_format="pyarrow"
+    )

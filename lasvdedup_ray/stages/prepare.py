@@ -1,0 +1,44 @@
+"""Prepare stage: row ids, content sha256, and ranking stats.
+
+Stateless ``map_batches`` over zero-copy Arrow batches — the Ray analog of
+the reference's metadata derivation (``lasvdedup/utils/io_utils.py:30-61``:
+read table, derive ``distance_to_expectation``).  Adds:
+
+- ``id``       : ``f"{repo}:{path}@{commit}"`` (unique row key; FIXTURES F1)
+- ``sha_hex``  : hex sha256 of content — the exact-dedup shuffle key
+- ``sha256``   : 32-byte digest — the per-row output invariant (input_hint)
+- ``n_chars``  / ``n_lines`` : ranking inputs (reference length column analog,
+  ``io_utils.py:45``)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import sha256_bytes
+from ..functions.text import line_counts
+
+
+def make_row_ids(t: pa.Table) -> pa.Array:
+    rp = pc.binary_join_element_wise(t["repo"], t["path"], ":")
+    return pc.binary_join_element_wise(rp, t["commit"], "@")
+
+
+def prepare_batch(t: pa.Table) -> pa.Table:
+    content = t["content"]
+    ids = make_row_ids(t)
+    digests = sha256_bytes(s.encode("utf-8") for s in content.to_pylist())
+    sha_hex = pa.array([d.hex() for d in digests], pa.string())
+    sha_bin = pa.array(digests, pa.binary())
+    t = t.append_column("id", ids)
+    t = t.append_column("sha_hex", sha_hex)
+    t = t.append_column("sha256", sha_bin)
+    t = t.append_column("n_chars", pc.cast(pc.utf8_length(content), pa.int64()))
+    t = t.append_column("n_lines", pc.cast(line_counts(content), pa.int64()))
+    return t
+
+
+def prepare(ds: ray.data.Dataset, batch_size: int = 4096) -> ray.data.Dataset:
+    return ds.map_batches(prepare_batch, batch_format="pyarrow", batch_size=batch_size)

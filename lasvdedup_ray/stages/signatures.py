@@ -1,0 +1,113 @@
+"""MinHash + SimHash signature stage — the canonical stateful actor pool.
+
+Replaces the reference's global distance oracle (midpoint-rooted tree +
+dense n x n matrix, ``lasvdedup/utils/determine_duplicates.py:111-114``,
+``distance_matrix.py:10-20``) with per-row sketches computed streaming:
+``ds.map_batches(MinHashSigner, concurrency=(min,max), batch_format="pyarrow")``
+where ``__init__`` builds the 128 permutation parameters + normalizer ONCE
+per actor and ``__call__`` does only vectorized numpy work per batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..config import SignatureConfig
+from ..functions.hashing import (
+    minhash_permutation_params,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_values,
+)
+from ..functions.text import normalize_for_shingling
+
+# cap on concatenated shingle hashes per vectorized minhash call: bounds the
+# (perm_chunk x total) intermediate to ~64 MiB regardless of batch size
+_SHINGLE_CHUNK = 1 << 18
+
+
+def compute_signatures(
+    docs: List[bytes], cfg: SignatureConfig, a: np.ndarray, b: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(signatures uint32 (n, num_perms), simhash uint64 (n,), n_shingles
+    int64 (n,)) for a list of normalized utf-8 documents."""
+    n = len(docs)
+    sigs = np.empty((n, cfg.num_perms), dtype=np.uint32)
+    sims = np.empty(n, dtype=np.uint64)
+    counts = np.empty(n, dtype=np.int64)
+
+    hash_arrays: List[np.ndarray] = []
+    lo = 0
+    total = 0
+    for i in range(n + 1):
+        flush = i == n or (total >= _SHINGLE_CHUNK and i > lo)
+        if flush and i > lo:
+            concat = np.concatenate(hash_arrays) if hash_arrays else np.empty(0, np.uint64)
+            cnts = np.array([h.shape[0] for h in hash_arrays], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(cnts[:-1]))).astype(np.intp)
+            sigs[lo:i] = minhash_signatures(concat, offsets, a, b)
+            sims[lo:i] = simhash_values(concat, offsets, cnts)
+            counts[lo:i] = cnts
+            hash_arrays, lo, total = [], i, 0
+        if i == n:
+            break
+        h = shingle_hashes(docs[i], cfg.k)
+        hash_arrays.append(h)
+        total += h.shape[0]
+    return sigs, sims, counts
+
+
+class MinHashSigner:
+    """Callable class for ``map_batches`` actor pools.
+
+    State built once per actor (``__init__``): permutation parameters.
+    Per batch (``__call__``): pyarrow normalization + vectorized signature
+    computation; appends ``minhash`` (large_binary, num_perms*4 bytes),
+    ``simhash`` (uint64), ``n_shingles`` (int64).
+    """
+
+    def __init__(self, cfg: Optional[SignatureConfig] = None):
+        self.cfg = cfg or SignatureConfig()
+        self.a, self.b = minhash_permutation_params(self.cfg.num_perms, self.cfg.seed)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        norm = normalize_for_shingling(t["content"], cfg.lowercase, cfg.collapse_ws)
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        docs = [s.encode("utf-8") for s in norm.to_pylist()]
+        sigs, sims, counts = compute_signatures(docs, cfg, self.a, self.b)
+        t = t.append_column(
+            "minhash", pa.array([s.tobytes() for s in sigs], pa.large_binary())
+        )
+        t = t.append_column("simhash", pa.array(sims, pa.uint64()))
+        t = t.append_column("n_shingles", pa.array(counts, pa.int64()))
+        return t
+
+
+def add_signatures(
+    ds: ray.data.Dataset,
+    cfg: Optional[SignatureConfig] = None,
+    batch_size: int = 1024,
+    concurrency: Tuple[int, int] = (2, 8),
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        MinHashSigner,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sigs_to_matrix(blobs: List[bytes], num_perms: int) -> np.ndarray:
+    """Decode a list of signature blobs into a (n, num_perms) uint32 matrix
+    (zero-copy per blob)."""
+    if not blobs:
+        return np.empty((0, num_perms), dtype=np.uint32)
+    return np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), num_perms)

@@ -1,0 +1,68 @@
+"""Per-stage Parquet checkpoints + manifest — the resume mechanism.
+
+Mirrors the reference's Snakemake semantics (a rule is skipped when its
+outputs exist, ``lasvdedup/Snakefile:15-126``): each pinned stage writes a
+Parquet directory under ``checkpoint_dir`` atomically (write to a temp dir,
+rename) and records completion in ``manifest.json``; a re-run reads the
+completed stage instead of recomputing it.
+
+Without a checkpoint_dir, ``pin`` falls back to ``materialize()`` — needed
+at pipeline fan-out points because Ray Data re-executes a lazy subplan once
+per consumer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Optional
+
+import ray.data
+
+
+class StageCheckpointer:
+    def __init__(self, checkpoint_dir: Optional[str] = None):
+        self.dir = checkpoint_dir
+        if self.dir:
+            os.makedirs(self.dir, exist_ok=True)
+        self._manifest_path = os.path.join(self.dir, "manifest.json") if self.dir else None
+
+    def _manifest(self) -> dict:
+        if self._manifest_path and os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _mark_done(self, name: str) -> None:
+        m = self._manifest()
+        m[name] = {"done": True}
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._manifest_path)  # atomic
+
+    def is_done(self, name: str) -> bool:
+        return bool(self._manifest().get(name, {}).get("done"))
+
+    def pin(self, ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
+        """Execute a stage once and make its result re-readable.
+
+        checkpoint_dir set: write-then-rename Parquet + manifest entry;
+        on resume, read the completed stage (Snakemake-equivalent skip).
+        checkpoint_dir unset: materialize into the object store.
+        """
+        if not self.dir:
+            return ds.materialize()
+        final = os.path.join(self.dir, name)
+        if self.is_done(name):
+            return ray.data.read_parquet(final)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ds.write_parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        self._mark_done(name)
+        return ray.data.read_parquet(final)
