@@ -64,6 +64,10 @@ def dedup_pipeline(
     # pin at fan-out points: Ray Data re-executes a lazy subplan once per
     # consumer, so each stage consumed twice is checkpointed/materialized
     prepared = ck.pin(prepare(ds, batch_size=ex.prepare_batch_size), "prepared")
+    if prepared.count() == 0:
+        from ..stages.classify import RESULT_SCHEMA
+
+        return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
     slim_all = prepared.select_columns(SLIM_COLS)
 
     # exact fast path: sign one row per distinct content
@@ -130,9 +134,24 @@ def attach_content(
     ``io_utils.py:135-144``).  Surviving rows preserve content byte-for-byte
     (sha256 invariant)."""
     content = prepared.select_columns(["id", "repo", "path", "commit", "content"])
-    return results.join(
+    # Arrow's hash join rejects list-typed payload columns: pack the
+    # group_members list to a \x1f-delimited string across the join
+    SEP = "\x1f"
+
+    def pack(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("group_members")
+        packed = pc.binary_join(t["group_members"], SEP)
+        return t.set_column(idx, "group_members", pc.cast(packed, pa.string()))
+
+    def unpack(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("group_members")
+        unpacked = pc.split_pattern(t["group_members"], SEP)
+        return t.set_column(idx, "group_members", unpacked)
+
+    joined = results.map_batches(pack, batch_format="pyarrow").join(
         content, join_type="inner", num_partitions=num_partitions, on=("id",)
     )
+    return joined.map_batches(unpack, batch_format="pyarrow")
 
 
 def survivors(results_with_content: ray.data.Dataset) -> ray.data.Dataset:

@@ -58,20 +58,34 @@ def verify_pairs(
     borderline slice via two slim content joins.  Returns the final verified
     edge list (id_a, id_b, est_distance) with d <= tau (inclusive)."""
     lsh_cfg = lsh_cfg or LSHConfig()
+
+    def _safe_filter(pred):
+        # empty upstream datasets can arrive schemaless: normalize to
+        # PAIR_SCHEMA so downstream joins always see (id_a, id_b, est_distance)
+        def fn(t: pa.Table) -> pa.Table:
+            if "est_distance" not in t.column_names:
+                return PAIR_SCHEMA.empty_table()
+            return t.filter(pred(t))
+
+        return fn
+
     if not lsh_cfg.exact_verify:
         return pairs.map_batches(
-            lambda t: t.filter(pc.less_equal(t["est_distance"], tau)),
+            _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau)),
             batch_format="pyarrow",
         )
     m = lsh_cfg.exact_margin
     sure = pairs.map_batches(
-        lambda t: t.filter(pc.less_equal(t["est_distance"], tau - m)),
+        _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau - m)),
         batch_format="pyarrow",
     )
     borderline = pairs.map_batches(
-        lambda t: t.filter(pc.greater(t["est_distance"], tau - m)),
+        _safe_filter(lambda t: pc.greater(t["est_distance"], tau - m)),
         batch_format="pyarrow",
-    )
+    ).materialize()  # tiny: only boundary-zone pairs
+    if borderline.count() == 0:
+        # a zero-block dataset would reach the join schemaless and fail
+        return sure
 
     j1 = borderline.join(
         content_by_id, join_type="inner", num_partitions=num_partitions,

@@ -117,10 +117,13 @@ def components_distributed(
         batch_format="pyarrow",
     ).materialize()
 
+    from ray.data.aggregate import Count
+
     nodes = (
         sym.select_columns(["src"])
         .groupby("src")
-        .aggregate()  # distinct
+        .aggregate(Count(alias_name="_c"))  # distinct src values
+        .select_columns(["src"])
         .map_batches(
             lambda t: pa.table({"id": t["src"], "label": t["src"]}),
             batch_format="pyarrow",

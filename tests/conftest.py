@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 import ray
+import ray.data
 
 
 @pytest.fixture(scope="session", autouse=True)
@@ -15,8 +16,6 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    import ray.data
-
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
     yield

@@ -1,0 +1,135 @@
+"""Kernel unit tests: shingles, MinHash accuracy, SimHash, band hashing.
+
+Model: the reference's distance-op unit tests
+(``/root/reference/tests/utils/test_distance_matrix.py:27-141``) — small
+literal inputs, pinned semantics.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from lasvdedup_ray.config import SignatureConfig
+from lasvdedup_ray.functions.hashing import (
+    band_hashes,
+    estimated_jaccard,
+    hamming64,
+    minhash_permutation_params,
+    shingle_hashes,
+    simhash_values,
+)
+from lasvdedup_ray.stages.signatures import compute_signatures, sigs_to_matrix
+
+
+def test_shingle_hashes_deterministic():
+    a = shingle_hashes(b"hello world, this is content", 5)
+    b = shingle_hashes(b"hello world, this is content", 5)
+    np.testing.assert_array_equal(a, b)
+    assert a.dtype == np.uint64
+    assert np.all(np.diff(a.astype(np.int64) + 0) >= 0) or len(a) == len(np.unique(a))
+
+
+def test_shingle_hashes_short_doc():
+    h = shingle_hashes(b"ab", 5)
+    assert h.shape == (1,)
+    assert np.array_equal(h, shingle_hashes(b"ab", 5))
+    assert not np.array_equal(h, shingle_hashes(b"ac", 5))
+
+
+def test_shingle_position_invariance():
+    # same k-gram set -> same hashes regardless of position
+    h1 = set(shingle_hashes(b"abcdefg", 3).tolist())
+    h2 = set(shingle_hashes(b"cdefgab", 3).tolist())
+    # shared 3-grams hash identically
+    assert len(h1 & h2) >= 3
+
+
+def _sig_for(texts, cfg):
+    a, b = minhash_permutation_params(cfg.num_perms, cfg.seed)
+    sigs, sims, counts = compute_signatures([t.encode() for t in texts], cfg, a, b)
+    return sigs, sims, counts
+
+
+def test_minhash_estimate_tracks_exact_jaccard():
+    cfg = SignatureConfig()
+    rng = np.random.default_rng(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    base = " ".join(vocab[i] for i in rng.integers(0, 400, 250))
+    texts = [base]
+    for rate in (0.02, 0.05, 0.1, 0.3):
+        toks = base.split()
+        n_mut = int(len(toks) * rate)
+        pos = rng.choice(len(toks), n_mut, replace=False)
+        for p in pos:
+            toks[p] = vocab[int(rng.integers(0, 400))]
+        texts.append(" ".join(toks))
+    sigs, _, _ = _sig_for(texts, cfg)
+    sets = [set(shingle_hashes(t.encode(), cfg.k).tolist()) for t in texts]
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        exact = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+        est = float(estimated_jaccard(sigs[i], sigs[j]))
+        assert abs(exact - est) < 0.12, (i, j, exact, est)
+
+
+def test_identical_docs_identical_signatures():
+    cfg = SignatureConfig()
+    sigs, sims, counts = _sig_for(["def foo(): pass\n" * 20] * 3, cfg)
+    assert np.array_equal(sigs[0], sigs[1]) and np.array_equal(sigs[1], sigs[2])
+    assert sims[0] == sims[1] == sims[2]
+
+
+def test_empty_and_tiny_docs_do_not_crash():
+    cfg = SignatureConfig()
+    sigs, sims, counts = _sig_for(["", "a", "ab", "x" * 100], cfg)
+    assert sigs.shape == (4, cfg.num_perms)
+    assert counts[0] >= 1  # whole-content fallback shingle
+
+
+def test_band_hashes_equal_iff_band_slots_equal():
+    cfg = SignatureConfig()
+    rng = np.random.default_rng(3)
+    sigs = rng.integers(0, 2**32, size=(2, cfg.num_perms), dtype=np.uint64).astype(np.uint32)
+    sigs[1] = sigs[0]  # identical
+    bh = band_hashes(sigs, cfg.bands, cfg.rows)
+    np.testing.assert_array_equal(bh[0], bh[1])
+    # perturb one slot in band 0 -> only band 0 hash changes
+    sigs2 = sigs.copy()
+    sigs2[1, 0] ^= 1
+    bh2 = band_hashes(sigs2, cfg.bands, cfg.rows)
+    assert bh2[1, 0] != bh2[0, 0]
+    np.testing.assert_array_equal(bh2[0, 1:], bh2[1, 1:])
+
+
+def test_simhash_similar_docs_close_hamming():
+    cfg = SignatureConfig()
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    variant = base.replace("quick", "swift", 3)
+    unrelated = "import numpy as np; x = np.zeros(10) " * 30
+    _, sims, _ = _sig_for([base, variant, unrelated], cfg)
+    d_sim = hamming64(np.array([sims[0]]), np.array([sims[1]]))[0]
+    d_far = hamming64(np.array([sims[0]]), np.array([sims[2]]))[0]
+    assert d_sim < d_far
+
+
+def test_sigs_to_matrix_roundtrip():
+    cfg = SignatureConfig()
+    sigs, _, _ = _sig_for(["hello world " * 10, "other doc " * 10], cfg)
+    blobs = [s.tobytes() for s in sigs]
+    back = sigs_to_matrix(blobs, cfg.num_perms)
+    np.testing.assert_array_equal(sigs, back)
+
+
+def test_permutation_params_deterministic():
+    a1, b1 = minhash_permutation_params(128, 42)
+    a2, b2 = minhash_permutation_params(128, 42)
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(b1, b2)
+    a3, _ = minhash_permutation_params(128, 43)
+    assert not np.array_equal(a1, a3)
+    assert np.all(a1 % 2 == 1)  # odd multipliers
+
+
+def test_signature_config_validation():
+    with pytest.raises(ValueError):
+        SignatureConfig(num_perms=128, bands=10, rows=10)
