@@ -1,0 +1,292 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+Each query here is a Ray-Data-first pipeline with an exactly-matching ANSI
+SQL oracle in ``__ray_entry__.oracle_sql`` (same column names, same
+quantization, deterministic tie-breaks).  They exercise the engine surface
+SURVEY §2 maps: pruned parquet reads, vectorized batch transforms, partial
+pre-aggregation before groupby shuffles, broadcast joins for small sides,
+hash joins, sorts, top-k, and windowed (tumbling) aggregates.
+
+Float determinism: float aggregates are QUANTIZED to int64 (``*_e4`` =
+value * 10^4 rounded) in BOTH the Ray pipeline and the SQL oracle.  Rounded
+doubles from two engines can differ in the last bit (different summation
+orders + different round() kernels), which flips row ordering and value
+hashes; integer quantization makes the comparison exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def quantize(t: pa.Table, cols, scale: int = 10_000, suffix: str = "_e4") -> pa.Table:
+    """Replace float columns with int64 ``round(value * scale)`` columns
+    named ``<col><suffix>`` (rounding half away from zero, = DuckDB round)."""
+    for c in cols:
+        i = t.schema.get_field_index(c)
+        q = pc.round(
+            pc.multiply(pc.cast(t[c], pa.float64()), pa.scalar(float(scale))),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        )
+        t = t.remove_column(i)
+        t = t.add_column(i, c + suffix, pc.cast(q, pa.int64()))
+    return t
+
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: filtered scan -> grouped aggregate.
+    Columns pruned at the read; revenue derived vectorized per batch."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return t.append_column("disc_price", disc_price)
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: quantize(t, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]),
+        batch_format="pyarrow",
+    ).sort(["l_returnflag", "l_linestatus"])
+
+
+def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """Join + aggregate + deterministic top-10 (revenue DESC, o_orderkey ASC)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def part_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    rev_by_order = (
+        li.map_batches(part_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = rev_by_order.join(
+        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = joined.map_batches(
+        lambda t: quantize(
+            pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "revenue": t["revenue"],
+                    "o_orderdate_s": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 1_000_000),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            ),
+            ["revenue"],
+        ),
+        batch_format="pyarrow",
+    )
+    return out.sort(["revenue_e4", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Multi-join revenue by nation: the small dimension table (nation) is
+    broadcast via ray.put and looked up per batch; fact tables hash-join."""
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nation_map = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
+    nation_ref = ray.put(nation_map)
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def part_rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    rev_by_order = (
+        li.map_batches(part_rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    ord_cust = orders.join(
+        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    joined = rev_by_order.join(
+        ord_cust, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    def to_nation(t: pa.Table) -> pa.Table:
+        nm = ray.get(nation_ref)
+        keys = t["c_nationkey"].to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([nm[int(k)] for k in keys], pa.string()),
+                "revenue": t["revenue"],
+            }
+        )
+
+    agg = (
+        joined.map_batches(to_nation, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    return agg.map_batches(
+        lambda t: quantize(t, ["revenue"]), batch_format="pyarrow"
+    ).sort("n_name")
+
+
+def events_by_type(sf_dir: str) -> ray.data.Dataset:
+    """Partial pre-aggregation inside map_batches, then a tiny groupby —
+    the combiner pattern for scale (SURVEY §4)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "psum": g["value_sum"],
+                "pcount": g["value_count"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("psum", alias_name="sum_value"), Sum("pcount", alias_name="n_events"))
+    )
+    return agg.map_batches(
+        lambda t: quantize(
+            t.append_column(
+                "avg_value", pc.divide(t["sum_value"], pc.cast(t["n_events"], pa.float64()))
+            ),
+            ["sum_value", "avg_value"],
+        ),
+        batch_format="pyarrow",
+    ).sort("event_type")
+
+
+def events_hourly(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1h window per event_type: epoch-floor key + groupby
+    (streaming-shaped workload as a batch window aggregate).  Window start
+    is emitted as integer epoch-seconds for engine-exact comparison."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def win(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        hour_s = pc.multiply(pc.divide(epoch, 3_600_000_000), 3600)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start_s": hour_s,
+                "value": t["value"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(win, batch_format="pyarrow")
+        .groupby(["event_type", "window_start_s"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    return agg.map_batches(
+        lambda t: quantize(t, ["sum_value"]), batch_format="pyarrow"
+    ).sort(["event_type", "window_start_s"])
+
+
+def top_users_by_value(sf_dir: str) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    agg = ds.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value"), Count(alias_name="n_events")
+    )
+    out = agg.map_batches(lambda t: quantize(t, ["total_value"]), batch_format="pyarrow")
+    return out.sort(["total_value_e4", "user_id"], descending=[True, False]).limit(20)
+
+
+def brand_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Fact-to-dimension broadcast join: part (small) shipped once via
+    ray.put, looked up per batch — no shuffle of lineitem."""
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).to_pandas()
+    brand_map = dict(zip(part["p_partkey"].astype(int), part["p_brand"]))
+    ref = ray.put(brand_map)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def to_brand(t: pa.Table) -> pa.Table:
+        bm = ray.get(ref)
+        keys = t["l_partkey"].to_pylist()
+        brands = [bm.get(int(k)) for k in keys]
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = pa.table({"p_brand": pa.array(brands, pa.string()), "rev": rev})
+        return out.filter(pc.is_valid(out["p_brand"]))  # inner-join semantics
+
+    agg = (
+        li.map_batches(to_brand, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("rev", alias_name="revenue"), Count(alias_name="n_items"))
+    )
+    return agg.map_batches(
+        lambda t: quantize(t, ["revenue"]), batch_format="pyarrow"
+    ).sort("p_brand")
+
+
+def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
+    """Min/Max/Mean aggregate over a dimension table grouped by nation."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+    agg = ds.groupby("s_nationkey").aggregate(
+        Min("s_acctbal", alias_name="min_bal"),
+        Max("s_acctbal", alias_name="max_bal"),
+        Mean("s_acctbal", alias_name="avg_bal"),
+        Count(alias_name="n_suppliers"),
+    )
+    out = agg.map_batches(
+        lambda t: quantize(t, ["min_bal", "max_bal", "avg_bal"]), batch_format="pyarrow"
+    )
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("s_nationkey"),
+            "s_nationkey",
+            pc.cast(t["s_nationkey"], pa.int64()),
+        ),
+        batch_format="pyarrow",
+    ).sort("s_nationkey")

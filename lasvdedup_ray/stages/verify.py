@@ -5,44 +5,76 @@ J = 1-tau boundary with 128 perms — enough to flip pairs across the
 reference's inclusive ``<=`` threshold (``sequence_grouping.py:53``).  To
 hold dup-pair recall >= 0.99 *at* the boundary, pairs whose estimated
 distance lies within ``exact_margin`` of tau are re-checked with the exact
-shingle-set Jaccard: a slim content join (only borderline pair endpoints,
-a tiny fraction of the corpus) + a vectorized set intersection per pair.
+shingle-set Jaccard.
 
-Pairs with est_distance <= tau - margin are accepted outright; pairs with
-est_distance > tau + margin were never emitted by the LSH stage.
+Execution shape: the borderline set is tiny by construction (only pairs in
+the ±margin band around tau), so its endpoint id-set is broadcast
+(``ray.put``), the matching contents are filtered out of the corpus in one
+distributed ``map_batches`` pass (no shuffle), and the exact Jaccard check
+runs on the collected subset.  Pairs with est_distance <= tau - margin are
+accepted outright; pairs with est_distance > tau + margin were never
+emitted by the LSH stage.  If the borderline set exceeds
+``max_driver_pairs`` the check degrades gracefully to trusting the
+estimates (logged), rather than shipping unbounded content.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+import logging
+from typing import Dict, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from ..config import LSHConfig, SignatureConfig
 from ..functions.hashing import shingle_hashes
-from ..functions.text import normalize_for_shingling
 from .lsh import PAIR_SCHEMA
 
+logger = logging.getLogger(__name__)
 
-def exact_jaccard_for_pairs(
-    contents_a, contents_b, cfg: SignatureConfig
-) -> np.ndarray:
+MAX_DRIVER_PAIRS = 500_000
+
+
+def _normalize(s: str, cfg: SignatureConfig) -> bytes:
+    if cfg.lowercase:
+        s = s.lower()
+    if cfg.collapse_ws:
+        s = " ".join(s.split())
+    return s.encode("utf-8")
+
+
+def exact_jaccard_for_pairs(contents_a, contents_b, cfg: SignatureConfig) -> np.ndarray:
     """Exact Jaccard over normalized k-shingle hash sets, one value per pair."""
     out = np.empty(len(contents_a), dtype=np.float64)
     for i, (ca, cb) in enumerate(zip(contents_a, contents_b)):
-        na = ca.lower() if cfg.lowercase else ca
-        nb = cb.lower() if cfg.lowercase else cb
-        if cfg.collapse_ws:
-            na = " ".join(na.split())
-            nb = " ".join(nb.split())
-        ha = shingle_hashes(na.encode("utf-8"), cfg.k)
-        hb = shingle_hashes(nb.encode("utf-8"), cfg.k)
+        ha = shingle_hashes(_normalize(ca, cfg), cfg.k)
+        hb = shingle_hashes(_normalize(cb, cfg), cfg.k)
         inter = np.intersect1d(ha, hb, assume_unique=True).shape[0]
         union = ha.shape[0] + hb.shape[0] - inter
         out[i] = inter / union if union else 1.0
+    return out
+
+
+def _exact_distances(
+    ids_a, ids_b, content_map: Dict[str, str], cfg: SignatureConfig
+) -> np.ndarray:
+    """Pairwise exact Jaccard distance with per-id shingle-set caching."""
+    cache: Dict[str, np.ndarray] = {}
+
+    def sh(i: str) -> np.ndarray:
+        if i not in cache:
+            cache[i] = shingle_hashes(_normalize(content_map[i], cfg), cfg.k)
+        return cache[i]
+
+    out = np.empty(len(ids_a), dtype=np.float64)
+    for n, (a, b) in enumerate(zip(ids_a, ids_b)):
+        ha, hb = sh(a), sh(b)
+        inter = np.intersect1d(ha, hb, assume_unique=True).shape[0]
+        union = ha.shape[0] + hb.shape[0] - inter
+        out[n] = 1.0 - (inter / union if union else 1.0)
     return out
 
 
@@ -55,13 +87,13 @@ def verify_pairs(
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
     """Split candidate pairs into sure / borderline; exact-verify the
-    borderline slice via two slim content joins.  Returns the final verified
-    edge list (id_a, id_b, est_distance) with d <= tau (inclusive)."""
+    borderline slice.  Returns the verified edge list (id_a, id_b,
+    est_distance) with d <= tau (inclusive boundary)."""
     lsh_cfg = lsh_cfg or LSHConfig()
 
     def _safe_filter(pred):
         # empty upstream datasets can arrive schemaless: normalize to
-        # PAIR_SCHEMA so downstream joins always see (id_a, id_b, est_distance)
+        # PAIR_SCHEMA so every block downstream has (id_a, id_b, est_distance)
         def fn(t: pa.Table) -> pa.Table:
             if "est_distance" not in t.column_names:
                 return PAIR_SCHEMA.empty_table()
@@ -83,42 +115,42 @@ def verify_pairs(
         _safe_filter(lambda t: pc.greater(t["est_distance"], tau - m)),
         batch_format="pyarrow",
     ).materialize()  # tiny: only boundary-zone pairs
-    if borderline.count() == 0:
-        # a zero-block dataset would reach the join schemaless and fail
+    n_border = borderline.count()
+    if n_border == 0:
         return sure
-
-    j1 = borderline.join(
-        content_by_id, join_type="inner", num_partitions=num_partitions,
-        on=("id_a",), right_on=("id",),
-    ).map_batches(
-        lambda t: pa.table(
-            {"id_a": t["id_a"], "id_b": t["id_b"], "content_a": t["content"]}
-        ),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(
-        content_by_id, join_type="inner", num_partitions=num_partitions,
-        on=("id_b",), right_on=("id",),
-    )
-
-    def check(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table(
-                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string()),
-                 "est_distance": pa.array([], pa.float64())}, schema=PAIR_SCHEMA)
-        ja = exact_jaccard_for_pairs(
-            t["content_a"].to_pylist(), t["content"].to_pylist(), sig_cfg
+    if n_border > MAX_DRIVER_PAIRS:
+        # degrade gracefully: trust the estimates instead of shipping
+        # unbounded content to the driver (logged, never silent)
+        logger.warning(
+            "borderline pair set too large for exact verify (%d > %d); "
+            "falling back to signature estimates at the boundary",
+            n_border,
+            MAX_DRIVER_PAIRS,
         )
-        d = 1.0 - ja
-        keep = d <= tau  # inclusive boundary (sequence_grouping.py:53)
-        return pa.table(
-            {
-                "id_a": t["id_a"].filter(pa.array(keep)),
-                "id_b": t["id_b"].filter(pa.array(keep)),
-                "est_distance": pa.array(d[keep], pa.float64()),
-            },
-            schema=PAIR_SCHEMA,
+        return pairs.map_batches(
+            _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau)),
+            batch_format="pyarrow",
         )
 
-    checked = j2.map_batches(check, batch_format="pyarrow")
-    return sure.union(checked)
+    bdf = borderline.to_pandas()
+    needed = set(bdf["id_a"]) | set(bdf["id_b"])
+    id_ref = ray.put(needed)
+
+    def grab(t: pa.Table) -> pa.Table:
+        want = ray.get(id_ref)
+        mask = pa.array([i in want for i in t["id"].to_pylist()])
+        return t.filter(mask)
+
+    sub = content_by_id.map_batches(grab, batch_format="pyarrow").to_pandas()
+    content_map = dict(zip(sub["id"], sub["content"]))
+    d_exact = _exact_distances(list(bdf["id_a"]), list(bdf["id_b"]), content_map, sig_cfg)
+    keep = d_exact <= tau  # inclusive boundary (sequence_grouping.py:53)
+    checked = pa.table(
+        {
+            "id_a": pa.array(list(bdf["id_a"][keep]), pa.string()),
+            "id_b": pa.array(list(bdf["id_b"][keep]), pa.string()),
+            "est_distance": pa.array(d_exact[keep], pa.float64()),
+        },
+        schema=PAIR_SCHEMA,
+    )
+    return sure.union(ray.data.from_arrow(checked))

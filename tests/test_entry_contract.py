@@ -1,0 +1,79 @@
+"""Driver-contract checks: entry()/queries()/oracle_sql() at sf0.001.
+
+Mirrors what the graft driver does (smoke entry(), run each query, compare
+oracle-SQL entries against DuckDB) at the smallest scale factor so the
+whole contract stays green under pytest.
+"""
+
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# cheap queries checked against DuckDB in-test (the heavier ones run in the
+# driver's own gate at sf0.01 and in tools/check_oracle.py)
+CHECKED = [
+    "q1_pricing_summary",
+    "events_by_type",
+    "events_hourly",
+    "top_users_by_value",
+    "supplier_balance_stats",
+    "doc_stats",
+    "lang_quality_summary",
+    "quality_filter",
+    "exact_dedup_docs",
+    "embedding_topk",
+    "embedding_neardup_pairs",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+def test_entry_returns_rows():
+    res = entry_mod.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    assert len(df) > 0
+    assert "cluster_id" in df.columns and "classification" in df.columns
+
+
+def test_every_query_key_is_callable():
+    qs = entry_mod.queries()
+    assert len(qs) >= 18
+    for name, fn in qs.items():
+        assert callable(fn), name
+    for name in entry_mod.oracle_sql():
+        assert name in qs, f"oracle {name} has no query"
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(name, con):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    ours = canon(qs[name](SF_DIR).to_pandas())
+    theirs = canon(con.execute(oracles[name]).fetchdf())
+    assert list(ours.columns) == list(theirs.columns), (
+        f"{name}: {list(ours.columns)} vs {list(theirs.columns)}"
+    )
+    assert len(ours) == len(theirs), f"{name}: {len(ours)} vs {len(theirs)}"
+    pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, atol=0, rtol=0)
