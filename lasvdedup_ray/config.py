@@ -40,6 +40,10 @@ class SignatureConfig:
     bands: int = 32
     rows: int = 4
     seed: int = 42
+    # "oph": densified one-permutation hashing, O(shingles) per doc — the
+    # scale default.  "classic": 128 independent permutations, O(shingles *
+    # num_perms) — the reference estimator, kept for comparison/tests.
+    scheme: str = "oph"
     lowercase: bool = True     # normalization applied only for shingling;
     collapse_ws: bool = True   # stored content stays byte-identical (sha256 invariant)
 
@@ -93,9 +97,13 @@ class LSHConfig:
 class ExecutionConfig:
     """Per-stage physical knobs, sized for a 32-CPU node by default."""
 
-    batch_size: int = 1024            # rows per batch into the signer actor pool
+    # rows per task bundle: Ray sizes map tasks to >= batch_size rows, so a
+    # large batch_size caps stage parallelism on small-block inputs (20k
+    # rows / 4096 = 5 tasks on a 32-CPU node).  512 rows ≈ 1 MiB of source
+    # text per call — plenty for vectorization, fine-grained for scheduling.
+    batch_size: int = 512
     signer_concurrency: Tuple[int, int] = (2, 8)
-    prepare_batch_size: int = 4096
+    prepare_batch_size: int = 512
     dsu_edge_limit: int = 2_000_000   # above this, use distributed label propagation
     max_label_rounds: int = 50
     target_max_block_size: Optional[int] = None  # None = Ray default (128 MiB)
@@ -109,6 +117,14 @@ class PipelineConfig:
     default_thresholds: ClassThresholds = field(default_factory=ClassThresholds)
     # per-lang overrides, reference's per-segment THRESHOLDS (config.yaml:31-41)
     lang_thresholds: Mapping[str, ClassThresholds] = field(default_factory=dict)
+    # Sign only one row per distinct sha256 and propagate signatures by a
+    # sha join.  Worth it when exact duplication is heavy relative to
+    # signing cost (classic scheme / very dup-heavy corpora); with the
+    # O(shingles) OPH signer the extra groupby+join stages usually cost
+    # more than they save, so the default signs every row — identical
+    # content yields identical signatures and exact dups cluster through
+    # the same LSH path (distance 0 <= tau).
+    exact_first: bool = False
     # ranking: sort by [len_distance ASC] + [these DESC] + [id ASC]
     # (reference io_utils.py:48-55; tie-break on id is stricter than the
     # reference's insertion-order min() — Ray block order is nondeterministic)

@@ -60,58 +60,81 @@ def dedup_pipeline(
     config = config or PipelineConfig()
     ex = config.execution
     ck = StageCheckpointer(config.checkpoint_dir)
-
-    # pin at fan-out points: Ray Data re-executes a lazy subplan once per
-    # consumer, so each stage consumed twice is checkpointed/materialized
-    prepared = ck.pin(prepare(ds, batch_size=ex.prepare_batch_size), "prepared")
-    if prepared.count() == 0:
-        from ..stages.classify import RESULT_SCHEMA
-
-        return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
-    slim_all = prepared.select_columns(SLIM_COLS)
-
-    # exact fast path: sign one row per distinct content
-    reps = exact_representatives(prepared)
-    e_edges = exact_dup_edges(slim_all)
-
-    signed = ck.pin(
-        add_signatures(
-            reps,
-            cfg=config.signature,
-            batch_size=ex.batch_size,
-            concurrency=ex.signer_concurrency,
-        ),
-        "signed",
-    )
-    signed_slim = signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
-
     tau = candidate_tau(config)
     emit_tau = tau + (config.lsh.exact_margin if config.lsh.exact_verify else 0.0)
-    raw_pairs = candidate_pairs(
-        signed_slim.select_columns(["id", "minhash", "simhash"]),
-        config.signature,
-        config.lsh,
-        tau=emit_tau,
-    )
-    near_edges = verify_pairs(
-        raw_pairs,
-        signed.select_columns(["id", "content"]),
-        config.signature,
-        config.lsh,
-        tau=tau,
-        num_partitions=num_partitions,
-    )
-    edges = ck.pin(near_edges.union(e_edges), "edges")
 
-    # propagate the (identical) signature of each sha-representative to every
-    # member row: slim hash join on sha_hex
-    sig_by_sha = signed_slim.select_columns(["sha_hex", "minhash", "simhash"])
-    meta = slim_all.join(
-        sig_by_sha,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("sha_hex",),
-    )
+    if config.exact_first:
+        # sign once per distinct content, propagate signatures by sha join
+        prepared = ck.pin(prepare(ds, batch_size=ex.prepare_batch_size), "prepared")
+        if prepared.count() == 0:
+            from ..stages.classify import RESULT_SCHEMA
+
+            return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
+        slim_all = prepared.select_columns(SLIM_COLS)
+        reps = exact_representatives(prepared)
+        e_edges = exact_dup_edges(slim_all)
+        signed = ck.pin(
+            add_signatures(
+                reps,
+                cfg=config.signature,
+                batch_size=ex.batch_size,
+                concurrency=ex.signer_concurrency,
+            ),
+            "signed",
+        )
+        signed_slim = signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+        near_edges = verify_pairs(
+            candidate_pairs(
+                signed_slim.select_columns(["id", "minhash", "simhash"]),
+                config.signature,
+                config.lsh,
+                tau=emit_tau,
+            ),
+            signed.select_columns(["id", "content"]),
+            config.signature,
+            config.lsh,
+            tau=tau,
+            num_partitions=num_partitions,
+        )
+        edges = near_edges.union(e_edges)
+        # propagate each sha-representative's signature to every member row
+        meta = slim_all.join(
+            signed_slim.select_columns(["sha_hex", "minhash", "simhash"]),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("sha_hex",),
+        )
+    else:
+        # default: sign every row (OPH signing is O(shingles), cheaper than
+        # the extra exact-dedup groupby + sha join; identical content yields
+        # identical signatures, so exact dups cluster through LSH at d=0)
+        signed = ck.pin(
+            add_signatures(
+                prepare(ds, batch_size=ex.prepare_batch_size),
+                cfg=config.signature,
+                batch_size=ex.batch_size,
+                concurrency=ex.signer_concurrency,
+            ),
+            "signed",
+        )
+        if signed.count() == 0:
+            from ..stages.classify import RESULT_SCHEMA
+
+            return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
+        meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
+        edges = verify_pairs(
+            candidate_pairs(
+                signed.select_columns(["id", "minhash", "simhash"]),
+                config.signature,
+                config.lsh,
+                tau=emit_tau,
+            ),
+            signed.select_columns(["id", "content"]),
+            config.signature,
+            config.lsh,
+            tau=tau,
+            num_partitions=num_partitions,
+        )
 
     clustered = assign_clusters(
         meta,

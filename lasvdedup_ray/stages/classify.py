@@ -33,6 +33,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..config import ClassThresholds, PipelineConfig
@@ -215,11 +216,92 @@ def make_cluster_classifier(config: PipelineConfig):
     return classify_group
 
 
+def make_partition_classifier(config: PipelineConfig):
+    """Partition-level wrapper: one hash partition holds many whole
+    clusters; singletons (the vast majority) are classified in ONE
+    vectorized pass, only multi-member clusters invoke the per-cluster
+    decision tree.  (A per-cluster Ray groupby would cost one Python call
+    per cluster — the many-tiny-groups pitfall.)"""
+    per_cluster = make_cluster_classifier(config)
+
+    def classify_partition(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["pkey"])
+        m = g.num_rows
+        if m == 0:
+            return RESULT_SCHEMA.empty_table()
+        cl = np.asarray(g.column("cluster_id").to_pylist(), dtype=object)
+        order = np.argsort(cl, kind="stable")
+        cl_sorted = cl[order]
+        boundary = np.ones(m, dtype=bool)
+        boundary[1:] = cl_sorted[1:] != cl_sorted[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, m))
+
+        g_sorted = g.take(pa.array(order, pa.int64()))
+        outputs = []
+
+        # vectorized singleton fast path (Case 1)
+        single_pos = starts[sizes == 1]
+        if single_pos.size:
+            take = pa.array(single_pos, pa.int64())
+            s = g_sorted.take(take)
+            n1 = s.num_rows
+            ids_arr = pc.cast(s.column("id"), pa.string())
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            members = pa.ListArray.from_arrays(
+                pa.array(np.arange(n1 + 1, dtype=np.int32)), ids_arr
+            )
+            outputs.append(
+                pa.table(
+                    {
+                        "id": ids_arr,
+                        "cluster_id": pc.cast(s.column("cluster_id"), pa.string()),
+                        "classification": pa.array([KEEP] * n1, pa.string()),
+                        "decision_category": pa.array([SINGLE] * n1, pa.string()),
+                        "is_representative": pa.array([True] * n1, pa.bool_()),
+                        "rank": pa.array(np.ones(n1, dtype=np.int64), pa.int64()),
+                        "group_members": members,
+                        "reason": pa.array(["Single sequence in cluster"] * n1, pa.string()),
+                        "sha256": pc.cast(s.column("sha256"), pa.binary()),
+                        "lang": pc.cast(s.column("lang"), pa.string()),
+                    },
+                    schema=RESULT_SCHEMA,
+                )
+            )
+
+        for s0, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            outputs.append(per_cluster(g_sorted.slice(int(s0), int(sz))))
+
+        return pa.concat_tables(outputs) if outputs else RESULT_SCHEMA.empty_table()
+
+    return classify_partition
+
+
+CLASSIFY_PARTITIONS = 64
+
+
 def classify_clusters(
     clustered: ray.data.Dataset, config: Optional[PipelineConfig] = None
 ) -> ray.data.Dataset:
-    """Groupby cluster_id shuffle + per-cluster decision tree."""
+    """Hash-partition shuffle on cluster_id + per-partition decision tree."""
+    import zlib
+
     config = config or PipelineConfig()
-    return clustered.groupby("cluster_id").map_groups(
-        make_cluster_classifier(config), batch_format="pyarrow"
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        keys = t["cluster_id"].to_pylist()
+        pk = np.fromiter(
+            (zlib.crc32(k.encode()) % CLASSIFY_PARTITIONS for k in keys),
+            dtype=np.int32,
+            count=len(keys),
+        )
+        return t.append_column("pkey", pa.array(pk, pa.int32()))
+
+    return (
+        # batch_size coalesces into few large blocks: sort-shuffle latency
+        # scales with block count
+        clustered.map_batches(add_pkey, batch_format="pyarrow", batch_size=8192)
+        .groupby("pkey")
+        .map_groups(make_partition_classifier(config), batch_format="pyarrow")
     )

@@ -23,6 +23,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -36,7 +37,16 @@ PAIR_SCHEMA = pa.schema(
 
 
 def make_band_emitter(cfg: SignatureConfig):
-    """Stateless map_batches fn: (id, minhash, simhash) -> bands rows each."""
+    """Stateless map_batches fn: (id, minhash, simhash) -> bands rows each.
+
+    Band rows carry a COMPRESSED signature (low 16 bits of each uint32
+    slot, num_perms*2 bytes instead of num_perms*4) used for BOTH in-bucket
+    verification and canonical-band pair emission: 16-bit slot-equality
+    false positives occur with probability 1/65536, biasing the Jaccard
+    estimate by ~1.5e-5 and mis-skipping canonical emission with
+    probability ~1e-4 per pair — both negligible against the recall budget
+    — while halving the band-shuffle payload.
+    """
     bands, rows, num_perms = cfg.bands, cfg.rows, cfg.num_perms
 
     def emit(t: pa.Table) -> pa.Table:
@@ -47,28 +57,51 @@ def make_band_emitter(cfg: SignatureConfig):
                     "band": pa.array([], pa.int32()),
                     "bh": pa.array([], pa.uint64()),
                     "id": pa.array([], pa.string()),
-                    "minhash": pa.array([], pa.large_binary()),
+                    "sig16": pa.array([], pa.binary(num_perms * 2)),
                     "simhash": pa.array([], pa.uint64()),
                 }
             )
         blobs = t.column("minhash").to_pylist()
         sigs = sigs_to_matrix(blobs, num_perms)
+        sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
         bh = band_hashes(sigs, bands, rows)  # (n, bands)
         band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
         # repeat ids/sig/simhash bands times (take with repeated indices —
         # arrow-level, no python loop)
-        rep_idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        rep_np = np.repeat(np.arange(n, dtype=np.int64), bands)
+        rep_idx = pa.array(rep_np)
+        sig16_rep = np.ascontiguousarray(sig16[rep_np])  # (n*bands, num_perms)
+        sig16_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(num_perms * 2),
+            n * bands,
+            [None, pa.py_buffer(sig16_rep.tobytes())],
+        )
         return pa.table(
             {
                 "band": pa.array(band_idx, pa.int32()),
                 "bh": pa.array(bh.reshape(-1), pa.uint64()),
                 "id": t.column("id").take(rep_idx),
-                "minhash": t.column("minhash").take(rep_idx),
+                "sig16": sig16_arr,
                 "simhash": t.column("simhash").take(rep_idx),
             }
         )
 
     return emit
+
+
+def sig16_matrix(col: pa.ChunkedArray | pa.Array, num_perms: int) -> np.ndarray:
+    """Zero-copy decode of the fixed_size_binary(num_perms*2) sig16 column
+    into a (n, num_perms) uint16 matrix."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perms), dtype=np.uint16)
+    buf = col.buffers()[1]
+    off = col.offset * num_perms * 2
+    return np.frombuffer(
+        buf, dtype=np.uint16, count=n * num_perms, offset=off
+    ).reshape(n, num_perms)
 
 
 def _pairs_table(ids_a, ids_b, dists) -> pa.Table:
@@ -82,43 +115,85 @@ def _pairs_table(ids_a, ids_b, dists) -> pa.Table:
     )
 
 
-def make_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, tau: float):
-    """map_groups fn over one (band, bh) bucket: emit verified pairs
-    (est Jaccard distance <= tau, inclusive — reference pins ``<=`` at
-    ``sequence_grouping.py:53``).  Callers pass ``tau + exact_margin`` when
-    borderline pairs get an exact re-check downstream."""
+def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, tau: float):
+    """map_groups fn over one HASH PARTITION of band rows (many buckets per
+    call): sorts the partition by (band, bh), finds bucket boundaries
+    vectorized, and only loops Python over buckets with >= 2 members —
+    Ray-groupby-per-bucket would make one Python call per (band, bh) bucket
+    (~32x corpus size, mostly singletons), which dominates wall time.
+
+    Emits verified pairs (est Jaccard distance <= tau, inclusive — the
+    reference pins ``<=`` at ``sequence_grouping.py:53``).  Callers pass
+    ``tau + exact_margin`` when borderline pairs get an exact re-check
+    downstream.
+
+    CANONICAL-BAND EMISSION: a pair is emitted only by the FIRST band in
+    which its rows' slots agree (computed per pair from the sig16 slot
+    equality matrix).  Without this, an exact-dup pair collides in every
+    band and the edge list inflates x bands (3.5M instead of ~120k edges
+    for a 300k-file corpus) — with it, multiplicity is ~1 and no
+    downstream pair-dedup shuffle is needed."""
     num_perms = sig_cfg.num_perms
     cap = lsh_cfg.band_cap
     w = lsh_cfg.cap_neighbors
+    rows_per_band = sig_cfg.rows
+    n_bands = sig_cfg.bands
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
+    def emit_partition(g: pa.Table) -> pa.Table:
         m = g.num_rows
         if m < 2:
             return _pairs_table([], [], [])
+        band = g.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g.column("bh").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = np.asarray(g.column("id").to_pylist(), dtype=object)
-        sigs = sigs_to_matrix(g.column("minhash").to_pylist(), num_perms)
-        if m <= cap:
-            iu, ju = np.triu_indices(m, k=1)
-        else:
-            order = np.argsort(
-                g.column("simhash").to_numpy(zero_copy_only=False), kind="stable"
-            )
-            ids = ids[order]
-            sigs = sigs[order]
-            base = np.arange(m - 1)
-            iu = np.concatenate([base[: m - d] for d in range(1, w + 1)])
-            ju = np.concatenate([base[: m - d] + d for d in range(1, w + 1)])
-        est_j = (sigs[iu] == sigs[ju]).mean(axis=1)
-        d = 1.0 - est_j
-        keep = d <= tau
-        iu, ju, d = iu[keep], ju[keep], d[keep]
-        a_ids, b_ids = ids[iu], ids[ju]
-        swap = a_ids > b_ids  # canonical id_a < id_b
-        a_sw = np.where(swap, b_ids, a_ids)
-        b_sw = np.where(swap, a_ids, b_ids)
-        return _pairs_table(list(a_sw), list(b_sw), d)
+        sim = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        sigs = sig16_matrix(g.column("sig16"), num_perms)
 
-    return emit_pairs
+        order = np.lexsort((bh, band))
+        band, bh, ids, sim, sigs = band[order], bh[order], ids[order], sim[order], sigs[order]
+        boundary = np.ones(m, dtype=bool)
+        boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, m))
+
+        out_a, out_b, out_d = [], [], []
+        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            sz = int(sz)
+            b_cur = int(band[s])
+            g_ids = ids[s : s + sz]
+            g_sigs = sigs[s : s + sz]
+            if sz <= cap:
+                iu, ju = np.triu_indices(sz, k=1)
+            else:
+                so = np.argsort(sim[s : s + sz], kind="stable")
+                g_ids = g_ids[so]
+                g_sigs = g_sigs[so]
+                base = np.arange(sz - 1)
+                iu = np.concatenate([base[: sz - d] for d in range(1, w + 1)])
+                ju = np.concatenate([base[: sz - d] + d for d in range(1, w + 1)])
+            eq = g_sigs[iu] == g_sigs[ju]  # (npairs, num_perms)
+            d = 1.0 - eq.mean(axis=1)
+            keep = d <= tau
+            if b_cur > 0:
+                # canonical-band: skip pairs whose slots already agreed in
+                # an earlier band (that band emitted them)
+                band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
+                keep &= ~band_eq[:, :b_cur].any(axis=1)
+            iu, ju, d = iu[keep], ju[keep], d[keep]
+            a_ids, b_ids = g_ids[iu], g_ids[ju]
+            swap = a_ids > b_ids  # canonical id_a < id_b
+            out_a.append(np.where(swap, b_ids, a_ids))
+            out_b.append(np.where(swap, a_ids, b_ids))
+            out_d.append(d)
+        if not out_a:
+            return _pairs_table([], [], [])
+        return _pairs_table(
+            list(np.concatenate(out_a)),
+            list(np.concatenate(out_b)),
+            np.concatenate(out_d),
+        )
+
+    return emit_partition
 
 
 def candidate_pairs(
@@ -126,26 +201,44 @@ def candidate_pairs(
     sig_cfg: SignatureConfig,
     lsh_cfg: Optional[LSHConfig] = None,
     tau: float = 0.2,
+    num_partitions: int = 64,
+    dedup_pairs: bool = False,
 ) -> ray.data.Dataset:
-    """(id, minhash, simhash) dataset -> distinct verified near-dup pairs
+    """(id, minhash, simhash) dataset -> verified near-dup pairs
     (id_a < id_b, est_distance <= tau).
 
-    Shuffles: band groupby (candidate gen + verify), then a slim pair-key
-    groupby deduplicating pairs found in multiple bands (Min over
-    est_distance keeps the estimate deterministic).
-    """
+    Shuffles: ONE hash-partition groupby on ``pkey = bh % P`` (bucket
+    co-location + candidate gen + verify in a single exchange), then a slim
+    pair-key groupby deduplicating pairs found in multiple bands (Min over
+    est_distance keeps the estimate deterministic)."""
     lsh_cfg = lsh_cfg or LSHConfig()
+    num_partitions = 1 << (int(num_partitions) - 1).bit_length()  # next pow2
+    emit = make_band_emitter(sig_cfg)
+
+    def emit_with_pkey(t: pa.Table) -> pa.Table:
+        bt = emit(t)
+        pkey = pc.cast(
+            pc.bit_wise_and(bt["bh"], pa.scalar(np.uint64(num_partitions - 1), pa.uint64())),
+            pa.int32(),
+        )
+        return bt.append_column("pkey", pkey)
+
+    # large batches here coalesce the band rows into few, big blocks —
+    # Ray's sort-based groupby latency scales with input block COUNT, and
+    # hundreds of 3 MB blocks cost ~20 s of scheduling per shuffle
     bands_ds = signed_slim.map_batches(
-        make_band_emitter(sig_cfg), batch_format="pyarrow", batch_size=4096
+        emit_with_pkey, batch_format="pyarrow", batch_size=4096
     )
-    pairs = bands_ds.groupby(["band", "bh"]).map_groups(
-        make_pair_emitter(sig_cfg, lsh_cfg, tau), batch_format="pyarrow"
+    pairs = bands_ds.groupby("pkey").map_groups(
+        make_partition_pair_emitter(sig_cfg, lsh_cfg, tau), batch_format="pyarrow"
     )
-    distinct = (
-        pairs.groupby(["id_a", "id_b"])
-        .aggregate(Min("est_distance", alias_name="est_distance"))
-    )
-    return distinct
+    if dedup_pairs:
+        # canonical-band emission already reduces multiplicity to ~1; this
+        # extra all-to-all guarantees exact uniqueness for metrics use.
+        return pairs.groupby(["id_a", "id_b"]).aggregate(
+            Min("est_distance", alias_name="est_distance")
+        )
+    return pairs
 
 
 def band_stats(

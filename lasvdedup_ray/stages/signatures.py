@@ -20,7 +20,9 @@ from ..config import SignatureConfig
 from ..functions.hashing import (
     minhash_permutation_params,
     minhash_signatures,
+    oph_signatures,
     shingle_hashes,
+    simhash_from_sigs,
     simhash_values,
 )
 from ..functions.text import normalize_for_shingling
@@ -43,14 +45,20 @@ def compute_signatures(
     hash_arrays: List[np.ndarray] = []
     lo = 0
     total = 0
+    use_oph = getattr(cfg, "scheme", "oph") == "oph"
     for i in range(n + 1):
         flush = i == n or (total >= _SHINGLE_CHUNK and i > lo)
         if flush and i > lo:
             concat = np.concatenate(hash_arrays) if hash_arrays else np.empty(0, np.uint64)
             cnts = np.array([h.shape[0] for h in hash_arrays], dtype=np.int64)
             offsets = np.concatenate(([0], np.cumsum(cnts[:-1]))).astype(np.intp)
-            sigs[lo:i] = minhash_signatures(concat, offsets, a, b)
-            sims[lo:i] = simhash_values(concat, offsets, cnts)
+            if use_oph:
+                chunk_sigs = oph_signatures(concat, offsets, cnts, cfg.num_perms)
+                sigs[lo:i] = chunk_sigs
+                sims[lo:i] = simhash_from_sigs(chunk_sigs)
+            else:
+                sigs[lo:i] = minhash_signatures(concat, offsets, a, b)
+                sims[lo:i] = simhash_values(concat, offsets, cnts)
             counts[lo:i] = cnts
             hash_arrays, lo, total = [], i, 0
         if i == n:
@@ -95,6 +103,20 @@ def add_signatures(
     batch_size: int = 1024,
     concurrency: Tuple[int, int] = (2, 8),
 ) -> ray.data.Dataset:
+    """Signature stage.  Scheme decides the execution shape:
+
+    - "classic": callable-class ACTOR POOL — the 128-permutation parameter
+      table is real per-worker state built once in ``__init__``.
+    - "oph" (default): the signer holds no heavy state, so stateless
+      map_batches TASKS are the idiomatic choice — elastic, no actor-pool
+      startup latency, workers already warm from upstream stages.
+    """
+    rcfg = cfg or SignatureConfig()
+    if rcfg.scheme == "oph":
+        signer = MinHashSigner(rcfg)  # tiny closure state, shipped per task
+        return ds.map_batches(
+            signer, batch_format="pyarrow", batch_size=batch_size
+        )
     return ds.map_batches(
         MinHashSigner,
         fn_constructor_kwargs={"cfg": cfg},
