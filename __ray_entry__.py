@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": relational.events_by_type,
         "events_hourly": relational.events_hourly,
         "top_users_by_value": relational.top_users_by_value,
+        "user_sessions": relational.user_sessions,
         "brand_revenue": relational.brand_revenue,
         "supplier_balance_stats": relational.supplier_balance_stats,
         # text analysis / quality
@@ -114,6 +115,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY total_value_e4 DESC, user_id LIMIT 20
+        """,
+        "user_sessions": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id,
+                       sum(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sess_id
+                FROM o
+            ),
+            per_sess AS (
+                SELECT user_id, sess_id, count(*) AS sess_events
+                FROM s GROUP BY user_id, sess_id
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   CAST(sum(sess_events) AS BIGINT) AS n_events,
+                   max(sess_events) AS max_session_events
+            FROM per_sess GROUP BY user_id ORDER BY user_id
         """,
         "brand_revenue": """
             SELECT p.p_brand,

@@ -37,10 +37,21 @@ def sf_from_dir(d: str) -> float:
 def ensure_corpus(n_files: int) -> str:
     from lasvdedup_ray.sources.corpus import CorpusSpec, write_corpus
 
-    out = f"{CORPUS_CACHE}_{n_files}"
+    # bench corpus: ~5 KB files (realistic source-file size; the tiny
+    # default test files under-weight per-file compute vs fixed overhead)
+    # with near-dup mutation rates that mirror real dup clusters (mostly
+    # close to exact)
+    spec = CorpusSpec(
+        n_files=n_files,
+        seed=42,
+        tokens_per_doc=600,
+        mutation_rate=0.015,
+        chain_step_rate=0.03,
+    )
+    out = f"{CORPUS_CACHE}_{n_files}_v2"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        write_corpus(out, CorpusSpec(n_files=n_files, seed=42), shards=max(8, n_files // 4000))
+        write_corpus(out, spec, shards=max(8, n_files // 4000))
         open(marker, "w").write("ok")
     return out
 
@@ -77,9 +88,17 @@ def run_bench() -> dict:
     ]
 
     # warm the page cache + worker pool so we measure steady-state compute
-    # and shuffle, not first disk reads or Python-worker cold starts
-    rd.read_parquet(corpus_paths).count()
-    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # and shuffle, not first disk reads or Python-worker cold starts.
+    # NOTE: .count() on parquet is metadata-only — a map forces full decode.
+    import pyarrow as _pa
+
+    def _touch(t):
+        return _pa.table({"n": _pa.array([t.num_rows])})
+
+    rd.read_parquet(corpus_paths).map_batches(_touch, batch_format="pyarrow").count()
+    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+        _touch, batch_format="pyarrow"
+    ).count()
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
         lambda b: (__import__("numpy"), __import__("pyarrow"), b)[-1],
         batch_size=1,
@@ -134,7 +153,7 @@ def run_scaling() -> dict:
     # sf-sized corpus, so the same job runs on a 15x larger deterministic
     # corpus at both parallelism levels (same input both runs)
     sf = sf_from_dir(SF_DIR)
-    scaling_files = int(os.environ.get("GRAFT_SCALING_FILES", int(3_000_000 * sf)))
+    scaling_files = int(os.environ.get("GRAFT_SCALING_FILES", int(6_000_000 * sf)))
 
     def run(ncpu: int) -> dict:
         env = dict(

@@ -107,12 +107,17 @@ def dedup_pipeline(
     else:
         # default: sign every row (OPH signing is O(shingles), cheaper than
         # the extra exact-dedup groupby + sha join; identical content yields
-        # identical signatures, so exact dups cluster through LSH at d=0)
+        # identical signatures, so exact dups cluster through LSH at d=0).
+        # Batch size adapts to input size: small enough that every CPU gets
+        # tasks, large enough that driver scheduling (~ms per task) doesn't
+        # serialize the run at scale.
+        n_rows = ds.count()
+        adaptive_bs = max(256, min(4096, n_rows // (num_partitions * 8) or 256))
         signed = ck.pin(
             add_signatures(
-                prepare(ds, batch_size=ex.prepare_batch_size),
+                prepare(ds, batch_size=adaptive_bs),
                 cfg=config.signature,
-                batch_size=ex.batch_size,
+                batch_size=adaptive_bs,
                 concurrency=ex.signer_concurrency,
             ),
             "signed",

@@ -268,6 +268,39 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
     ).sort("p_brand")
 
 
+SESSION_GAP_S = 1800  # 30 min
+
+
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Gap-based sessionization (streaming-shaped workload as a batch
+    window op): events partitioned by user, sorted by ts within the group,
+    a >30 min gap starts a new session.  Ordering assumption: per-user
+    event order is established INSIDE the group sort — no global order is
+    relied on (Ray block order is nondeterministic)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts_s = g["ts"].astype("int64") // 1_000_000
+        new_session = (ts_s.diff().isna()) | (ts_s.diff() > SESSION_GAP_S)
+        sess_id = new_session.cumsum()
+        sizes = sess_id.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(sess_id.max())],
+                "n_events": [len(g)],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .sort("user_id")
+    )
+
+
 def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
     """Min/Max/Mean aggregate over a dimension table grouped by nation."""
     ds = ray.data.read_parquet(

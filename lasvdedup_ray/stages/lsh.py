@@ -24,12 +24,16 @@ from typing import Optional, Tuple
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..config import LSHConfig, SignatureConfig
 from ..functions.hashing import band_hashes
 from .signatures import sigs_to_matrix
+
+# worker-process-level cache for the broadcast hot-bucket key array
+_WORKER_HOT_CACHE: dict = {}
 
 PAIR_SCHEMA = pa.schema(
     [("id_a", pa.string()), ("id_b", pa.string()), ("est_distance", pa.float64())]
@@ -139,6 +143,8 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
     rows_per_band = sig_cfg.rows
     n_bands = sig_cfg.bands
 
+    band_arange = np.arange(n_bands, dtype=np.int64)
+
     def emit_partition(g: pa.Table) -> pa.Table:
         m = g.num_rows
         if m < 2:
@@ -157,34 +163,51 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
         sizes = np.diff(np.append(starts, m))
 
         out_a, out_b, out_d = [], [], []
-        for s, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
-            sz = int(sz)
-            b_cur = int(band[s])
-            g_ids = ids[s : s + sz]
-            g_sigs = sigs[s : s + sz]
-            if sz <= cap:
-                iu, ju = np.triu_indices(sz, k=1)
-            else:
-                so = np.argsort(sim[s : s + sz], kind="stable")
-                g_ids = g_ids[so]
-                g_sigs = g_sigs[so]
-                base = np.arange(sz - 1)
-                iu = np.concatenate([base[: sz - d] for d in range(1, w + 1)])
-                ju = np.concatenate([base[: sz - d] + d for d in range(1, w + 1)])
-            eq = g_sigs[iu] == g_sigs[ju]  # (npairs, num_perms)
+
+        def flush(iu: np.ndarray, ju: np.ndarray) -> None:
+            """Verify + canonically emit a batch of global (iu, ju) pairs
+            — shared by the size-batched fast path and the capped loop."""
+            if iu.size == 0:
+                return
+            eq = sigs[iu] == sigs[ju]  # (npairs, num_perms)
             d = 1.0 - eq.mean(axis=1)
             keep = d <= tau
-            if b_cur > 0:
-                # canonical-band: skip pairs whose slots already agreed in
-                # an earlier band (that band emitted them)
-                band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
-                keep &= ~band_eq[:, :b_cur].any(axis=1)
+            # canonical-band: skip pairs whose slots already agreed in an
+            # earlier band (that band emitted them)
+            b_cur = band[iu]
+            band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
+            earlier = (band_eq & (band_arange[None, :] < b_cur[:, None])).any(axis=1)
+            keep &= ~earlier
             iu, ju, d = iu[keep], ju[keep], d[keep]
-            a_ids, b_ids = g_ids[iu], g_ids[ju]
+            if iu.size == 0:
+                return
+            a_ids, b_ids = ids[iu], ids[ju]
             swap = a_ids > b_ids  # canonical id_a < id_b
             out_a.append(np.where(swap, b_ids, a_ids))
             out_b.append(np.where(swap, a_ids, b_ids))
             out_d.append(d)
+
+        # fast path: buckets of the same (small) size are expanded together
+        # — per-bucket Python looping costs ~0.2 ms x millions of tiny
+        # buckets and dominated this stage before
+        multi = sizes >= 2
+        small = multi & (sizes <= cap)
+        for sz in np.unique(sizes[small]):
+            ss = starts[sizes == sz]
+            iu_l, ju_l = np.triu_indices(int(sz), k=1)
+            iu = (ss[:, None] + iu_l[None, :]).ravel()
+            ju = (ss[:, None] + ju_l[None, :]).ravel()
+            flush(iu, ju)
+
+        # capped path: oversized (skewed) buckets chain SimHash neighbors
+        for s, sz in zip(starts[sizes > cap], sizes[sizes > cap]):
+            sz = int(sz)
+            so = np.argsort(sim[s : s + sz], kind="stable") + s
+            base = np.arange(sz - 1)
+            iu_l = np.concatenate([base[: sz - d] for d in range(1, w + 1)])
+            ju_l = np.concatenate([base[: sz - d] + d for d in range(1, w + 1)])
+            flush(so[iu_l], so[ju_l])
+
         if not out_a:
             return _pairs_table([], [], [])
         return _pairs_table(
@@ -214,18 +237,76 @@ def candidate_pairs(
     lsh_cfg = lsh_cfg or LSHConfig()
     num_partitions = 1 << (int(num_partitions) - 1).bit_length()  # next pow2
     emit = make_band_emitter(sig_cfg)
+    bands, rows = sig_cfg.bands, sig_cfg.rows
 
+    # ---- phase 1: frequency pre-filter ------------------------------------
+    # Nearly all band buckets are singletons and can never form a pair, yet
+    # their rows would dominate the signature-carrying shuffle (the
+    # pipeline's bandwidth wall: ~11 KB/file of band rows vs ~5 KB of
+    # content).  A SLIM (band, bh) count pass finds the colliding bucket
+    # keys first; only rows in those buckets enter the signature shuffle
+    # (~85-95% volume cut on realistic corpora).
+    from ..functions.hashing import splitmix64 as _smx
+
+    def _combine(band_arr: np.ndarray, bh_arr: np.ndarray) -> np.ndarray:
+        # 64-bit combined bucket key; a false collision only ships one
+        # extra row into the shuffle (never drops a hot row)
+        return _smx(bh_arr.astype(np.uint64) ^ _smx(band_arr.astype(np.uint64)))
+
+    def emit_keys(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return pa.table(
+                {"pkey": pa.array([], pa.int32()), "ckey": pa.array([], pa.uint64())}
+            )
+        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
+        bh = band_hashes(sigs, bands, rows)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        ckey = _combine(band_idx, bh.reshape(-1))
+        pk = (ckey & np.uint64(num_partitions - 1)).astype(np.int32)
+        return pa.table(
+            {"pkey": pa.array(pk, pa.int32()), "ckey": pa.array(ckey, pa.uint64())}
+        )
+
+    def dup_keys(g: pa.Table) -> pa.Table:
+        # vectorized within one hash partition: keys appearing >= 2 times
+        # (a per-key groupby would be millions of tiny Ray groups)
+        ck = np.sort(g.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64))
+        if ck.shape[0] < 2:
+            return pa.table({"ckey": pa.array([], pa.uint64())})
+        dup = ck[1:][ck[1:] == ck[:-1]]
+        return pa.table({"ckey": pa.array(np.unique(dup), pa.uint64())})
+
+    hot_df = (
+        signed_slim.map_batches(emit_keys, batch_format="pyarrow", batch_size=8192)
+        .groupby("pkey")
+        .map_groups(dup_keys, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_sorted = np.sort(hot_df["ckey"].to_numpy().astype(np.uint64))
+    hot_ref = ray.put(hot_sorted)
+
+    # ---- phase 2: signature shuffle over colliding rows only --------------
     def emit_with_pkey(t: pa.Table) -> pa.Table:
         bt = emit(t)
+        if bt.num_rows:
+            if hot_ref not in _WORKER_HOT_CACHE:
+                _WORKER_HOT_CACHE.clear()
+                _WORKER_HOT_CACHE[hot_ref] = ray.get(hot_ref)
+            hot = _WORKER_HOT_CACHE[hot_ref]
+            bnd = bt["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bhv = bt["bh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            comb = _smx(bhv ^ _smx(bnd.astype(np.uint64)))
+            pos = np.searchsorted(hot, comb)
+            pos[pos >= len(hot)] = max(len(hot) - 1, 0)
+            mask = pa.array(hot[pos] == comb if len(hot) else np.zeros(len(comb), bool))
+            bt = bt.filter(mask)
         pkey = pc.cast(
             pc.bit_wise_and(bt["bh"], pa.scalar(np.uint64(num_partitions - 1), pa.uint64())),
             pa.int32(),
         )
         return bt.append_column("pkey", pkey)
 
-    # large batches here coalesce the band rows into few, big blocks —
-    # Ray's sort-based groupby latency scales with input block COUNT, and
-    # hundreds of 3 MB blocks cost ~20 s of scheduling per shuffle
     bands_ds = signed_slim.map_batches(
         emit_with_pkey, batch_format="pyarrow", batch_size=4096
     )

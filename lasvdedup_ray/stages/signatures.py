@@ -64,6 +64,11 @@ def compute_signatures(
         if i == n:
             break
         h = shingle_hashes(docs[i], cfg.k)
+        mod = getattr(cfg, "sample_mod", 1)
+        if mod > 1 and h.shape[0] > 1:
+            s = h[(h & np.uint64(mod - 1)) == 0]
+            if s.shape[0]:
+                h = s
         hash_arrays.append(h)
         total += h.shape[0]
     return sigs, sims, counts

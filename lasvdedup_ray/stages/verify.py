@@ -37,10 +37,6 @@ logger = logging.getLogger(__name__)
 
 MAX_DRIVER_PAIRS = 500_000
 
-# worker-process-level broadcast cache (module global: lives as long as the
-# worker, shared by every check_batch task that runs there)
-_WORKER_CONTENT_CACHE: dict = {}
-
 
 def _normalize(s: str, cfg: SignatureConfig) -> bytes:
     if cfg.lowercase:
@@ -59,26 +55,6 @@ def exact_jaccard_for_pairs(contents_a, contents_b, cfg: SignatureConfig) -> np.
         inter = np.intersect1d(ha, hb, assume_unique=True).shape[0]
         union = ha.shape[0] + hb.shape[0] - inter
         out[i] = inter / union if union else 1.0
-    return out
-
-
-def _exact_distances(
-    ids_a, ids_b, content_map: Dict[str, str], cfg: SignatureConfig
-) -> np.ndarray:
-    """Pairwise exact Jaccard distance with per-id shingle-set caching."""
-    cache: Dict[str, np.ndarray] = {}
-
-    def sh(i: str) -> np.ndarray:
-        if i not in cache:
-            cache[i] = shingle_hashes(_normalize(content_map[i], cfg), cfg.k)
-        return cache[i]
-
-    out = np.empty(len(ids_a), dtype=np.float64)
-    for n, (a, b) in enumerate(zip(ids_a, ids_b)):
-        ha, hb = sh(a), sh(b)
-        inter = np.intersect1d(ha, hb, assume_unique=True).shape[0]
-        union = ha.shape[0] + hb.shape[0] - inter
-        out[n] = 1.0 - (inter / union if union else 1.0)
     return out
 
 
@@ -113,7 +89,7 @@ def verify_pairs(
             _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau)),
             batch_format="pyarrow",
         )
-    m = lsh_cfg.exact_margin
+    m = lsh_cfg.exact_margin_low
     n_pairs = pairs.count()  # metadata-only on the materialized dataset
 
     if n_pairs <= MAX_DRIVER_PAIRS:

@@ -35,6 +35,11 @@ import ray.data
 from ray.data.aggregate import Min
 
 
+# worker-process-level cache for the broadcast label map (module global:
+# survives across tasks within a worker)
+_WORKER_LABEL_CACHE: Dict = {}
+
+
 class DSU:
     """Union-find with path compression + union by rank; roots resolve to
     the lexicographically smallest member id at finalize time."""
@@ -215,13 +220,18 @@ def assign_clusters(
         ref = ray.put(label_map)
 
         def attach(t: pa.Table) -> pa.Table:
-            lm = ray.get(ref)
+            # per-worker-process cache: ray.get of a big dict deserializes
+            # once per TASK otherwise (hundreds of tasks x 100ms adds up)
+            if ref not in _WORKER_LABEL_CACHE:
+                _WORKER_LABEL_CACHE.clear()
+                _WORKER_LABEL_CACHE[ref] = ray.get(ref)
+            lm = _WORKER_LABEL_CACHE[ref]
             ids = t["id"].to_pylist()
             return t.append_column(
                 "cluster_id", pa.array([lm.get(i, i) for i in ids], pa.string())
             )
 
-        return nodes.map_batches(attach, batch_format="pyarrow")
+        return nodes.map_batches(attach, batch_format="pyarrow", batch_size=8192)
 
     labels = components_distributed(edges, max_rounds, num_partitions).materialize()
     joined = nodes.join(
