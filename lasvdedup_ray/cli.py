@@ -42,6 +42,14 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="also write the sorted conformance TSV")
         sp.add_argument("--metrics", action="store_true",
                         help="also write band-skew / lineage metrics parquet")
+        sp.add_argument("--rank-table",
+                        help="metadata side table (parquet/csv with an id column) "
+                             "joined for ranking — reference contigs-table analog")
+        sp.add_argument("--selection-columns", default=None,
+                        help="comma-separated ranking columns (DESC), e.g. stars,coverage")
+        sp.add_argument("--edges-out",
+                        help="also write the verified edge list parquet (replaces "
+                             "the reference's dense .mldist matrix sink)")
 
     add_common(sub.add_parser("run", help="full pipeline: read -> dedup -> write"))
     add_common(sub.add_parser("deduplicate", help="alias of run (analytical core)"))
@@ -69,6 +77,8 @@ def _overrides_from_args(args: argparse.Namespace) -> Dict[str, Any]:
         ov["lang_thresholds"] = lang_over
     if args.checkpoint_dir:
         ov["checkpoint_dir"] = args.checkpoint_dir
+    if args.selection_columns:
+        ov["selection_columns"] = [c for c in args.selection_columns.split(",") if c]
     return ov
 
 
@@ -101,7 +111,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .sources.io import write_conformance_tsv, write_run_metrics
 
     ds = ray.data.read_parquet(args.input)
-    results = dedup_pipeline(ds, cfg, num_partitions=args.num_partitions).materialize()
+    rank_table = None
+    if args.rank_table:
+        rank_table = (
+            ray.data.read_csv(args.rank_table)
+            if args.rank_table.endswith(".csv")
+            else ray.data.read_parquet(args.rank_table)
+        )
+    results = dedup_pipeline(
+        ds,
+        cfg,
+        num_partitions=args.num_partitions,
+        rank_table=rank_table,
+        edges_out=args.edges_out,
+    ).materialize()
     write_results(results, args.output)
     summary = {
         "rows": results.count(),

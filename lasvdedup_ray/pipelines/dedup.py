@@ -53,10 +53,19 @@ def dedup_pipeline(
     config: Optional[PipelineConfig] = None,
     num_partitions: int = 32,
     force_distributed_components: bool = False,
+    rank_table: Optional[ray.data.Dataset] = None,
+    edges_out: Optional[str] = None,
 ) -> ray.data.Dataset:
     """Full dedup: returns the classification Dataset (RESULT_SCHEMA:
     id, cluster_id, classification, decision_category, is_representative,
-    rank, group_members, reason, sha256, lang)."""
+    rank, group_members, reason, sha256, lang).
+
+    ``rank_table``: optional metadata side table (id + numeric columns) —
+    the reference's ranked contigs table (``io_utils.py:30-61``); left-join
+    by id, its columns become usable in ``config.selection_columns``
+    (missing rows rank last).  ``edges_out``: optional Parquet directory for
+    the verified edge list — the scalable analog of the reference's dense
+    ``.mldist`` distance-matrix sink (``io_utils.py:69-83``)."""
     config = config or PipelineConfig()
     ex = config.execution
     ck = StageCheckpointer(config.checkpoint_dir)
@@ -140,6 +149,20 @@ def dedup_pipeline(
             tau=tau,
             num_partitions=num_partitions,
         )
+
+    if rank_table is not None:
+        # metadata/ranking side table (reference: contigs TSV joined per
+        # sequence) — left-join so corpus rows without metadata still flow
+        meta = meta.join(
+            rank_table,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("id",),
+        )
+
+    if edges_out is not None:
+        edges = edges.materialize()
+        edges.write_parquet(edges_out)
 
     clustered = assign_clusters(
         meta,
