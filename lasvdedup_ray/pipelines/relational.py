@@ -92,77 +92,114 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    # orders is a many-to-one lookup side — broadcast it (ray.put once)
+    # instead of hash-joining the aggregated facts
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
     )
-    joined = rev_by_order.join(
-        orders, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-    out = joined.map_batches(
-        lambda t: quantize(
-            pa.table(
-                {
-                    "o_orderkey": t["l_orderkey"],
-                    "revenue": t["revenue"],
-                    "o_orderdate_s": pc.divide(pc.cast(t["o_orderdate"], pa.int64()), 1_000_000),
-                    "o_orderpriority": t["o_orderpriority"],
-                }
-            ),
-            ["revenue"],
-        ),
-        batch_format="pyarrow",
-    )
+    omap = {
+        int(k): (int(d) // 1_000_000, p)
+        for k, d, p in zip(
+            ot["o_orderkey"].to_pylist(),
+            ot["o_orderdate"].cast(pa.int64()).to_pylist(),
+            ot["o_orderpriority"].to_pylist(),
+        )
+    }
+    oref = ray.put(omap)
+
+    def attach_order(t: pa.Table) -> pa.Table:
+        if oref not in _Q5_CACHE:
+            _Q5_CACHE.clear()
+            _Q5_CACHE[oref] = ray.get(oref)
+        om = _Q5_CACHE[oref]
+        keys = t["l_orderkey"].to_pylist()
+        hits = [om.get(int(k)) for k in keys]
+        mask = pa.array([h is not None for h in hits])
+        out = pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "revenue": t["revenue"],
+                "o_orderdate_s": pa.array(
+                    [h[0] if h else 0 for h in hits], pa.int64()
+                ),
+                "o_orderpriority": pa.array(
+                    [h[1] if h else "" for h in hits], pa.string()
+                ),
+            }
+        ).filter(mask)
+        return quantize(out, ["revenue"])
+
+    out = rev_by_order.map_batches(attach_order, batch_format="pyarrow")
     return out.sort(["revenue_e4", "o_orderkey"], descending=[True, False]).limit(10)
 
 
-def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
-    """Multi-join revenue by nation: the small dimension table (nation) is
-    broadcast via ray.put and looked up per batch; fact tables hash-join."""
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    nation_map = dict(zip(nation["n_nationkey"].astype(int), nation["n_name"]))
-    nation_ref = ray.put(nation_map)
+_Q5_CACHE: dict = {}
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    orders = ray.data.read_parquet(
+
+def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Revenue by nation.  All three dimension hops (orderkey -> custkey ->
+    nationkey -> name) are many-to-one LOOKUPS, so the fact scan maps
+    straight to nation via broadcast numpy lookup arrays (ray.put once,
+    worker-cached) with a per-batch combiner — the only shuffle left is
+    the 25-row final groupby.  No hash join touches lineitem."""
+    import pyarrow.parquet as pq
+
+    orders_t = pq.read_table(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
+    cust_t = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
+    # dense lookup arrays indexed by key (keys are small positive ints)
+    ok = np.asarray(orders_t["o_orderkey"], dtype=np.int64)
+    oc = np.asarray(orders_t["o_custkey"], dtype=np.int64)
+    order2cust = np.full(ok.max() + 1, -1, dtype=np.int64)
+    order2cust[ok] = oc
+    ck = np.asarray(cust_t["c_custkey"], dtype=np.int64)
+    cn = np.asarray(cust_t["c_nationkey"], dtype=np.int64)
+    cust2nat = np.full(ck.max() + 1, -1, dtype=np.int64)
+    cust2nat[ck] = cn
+    nk = np.asarray(nation_t["n_nationkey"], dtype=np.int64)
+    names = nation_t["n_name"].to_pylist()
+    nat_names = [""] * (int(nk.max()) + 1)
+    for k, nm in zip(nk, names):
+        nat_names[int(k)] = nm
+    ref = ray.put((order2cust, cust2nat, nat_names))
+
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def part_rev(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
-
-    rev_by_order = (
-        li.map_batches(part_rev, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
-    )
-    ord_cust = orders.join(
-        cust, join_type="inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",)
-    )
-    joined = rev_by_order.join(
-        ord_cust, join_type="inner", num_partitions=16, on=("l_orderkey",), right_on=("o_orderkey",)
-    )
-
-    def to_nation(t: pa.Table) -> pa.Table:
-        nm = ray.get(nation_ref)
-        keys = t["c_nationkey"].to_pylist()
+    def partial(t: pa.Table) -> pa.Table:
+        if ref not in _Q5_CACHE:
+            _Q5_CACHE.clear()
+            _Q5_CACHE[ref] = ray.get(ref)
+        o2c, c2n, nn = _Q5_CACHE[ref]
+        okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        rev = (
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+        )
+        nat = c2n[o2c[okeys]]  # inner-join semantics: -1 = missing
+        ok_mask = nat >= 0
+        sums = np.bincount(nat[ok_mask], weights=rev[ok_mask], minlength=len(nn))
+        hit = np.flatnonzero(sums != 0)
         return pa.table(
             {
-                "n_name": pa.array([nm[int(k)] for k in keys], pa.string()),
-                "revenue": t["revenue"],
+                "n_name": pa.array([nn[i] for i in hit], pa.string()),
+                "prev": pa.array(sums[hit], pa.float64()),
             }
         )
 
     agg = (
-        joined.map_batches(to_nation, batch_format="pyarrow")
+        li.map_batches(partial, batch_format="pyarrow")
         .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        .aggregate(Sum("prev", alias_name="revenue"))
     )
     return agg.map_batches(
         lambda t: quantize(t, ["revenue"]), batch_format="pyarrow"
