@@ -67,6 +67,15 @@ def dedup_pipeline(
     the verified edge list — the scalable analog of the reference's dense
     ``.mldist`` distance-matrix sink (``io_utils.py:69-83``)."""
     config = config or PipelineConfig()
+    # schema validation up front (reference: missing-column ValueError,
+    # io_utils.py:39-42) — fail fast instead of deep inside a shuffle
+    schema_names = set(ds.schema().names)
+    missing = [c for c in ("repo", "path", "commit", "lang", "content") if c not in schema_names]
+    if missing:
+        raise ValueError(
+            f"input is missing required columns {missing}; expected "
+            f"(repo, path, commit, lang, content)"
+        )
     ex = config.execution
     ck = StageCheckpointer(config.checkpoint_dir)
     tau = candidate_tau(config)
