@@ -118,6 +118,20 @@ def language_id(texts: Sequence[Optional[str]]) -> List[str]:
     return out
 
 
+def extract_group_key(
+    col: pa.Array | pa.ChunkedArray, pattern: str
+) -> pa.Array | pa.ChunkedArray:
+    """Regex group-key extraction — the reference's sample-id extractor
+    (``lasvdedup/utils/sequence_grouping.py:29-37``: ``pattern.search(name)
+    .group(0)`` per tip, counting non-matches) as a vectorized pyarrow
+    kernel.  Returns the first match per value; null where no match (the
+    reference logs-and-skips those)."""
+    wrapped = pattern if "(?P<" in pattern else f"(?P<key>{pattern})"
+    st = pc.extract_regex(col, wrapped)
+    field = st.type[0].name if isinstance(st, pa.Array) else st.chunk(0).type[0].name
+    return pc.struct_field(st, field)
+
+
 def winnow_fingerprints(data: bytes, k: int = 8, window: int = 16) -> np.ndarray:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
     the minimum shingle hash in each sliding window of ``window`` k-gram

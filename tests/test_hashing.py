@@ -133,3 +133,16 @@ def test_permutation_params_deterministic():
 def test_signature_config_validation():
     with pytest.raises(ValueError):
         SignatureConfig(num_perms=128, bands=10, rows=10)
+
+
+def test_extract_group_key_regex():
+    # FIXTURES F4: reference sample-regex grouping semantics
+    import pyarrow as pa
+
+    from lasvdedup_ray.functions.text import extract_group_key
+
+    names = pa.array(
+        ["sampleA_1_contig", "sampleA_2_contig", "sampleB_1_contig", "noMatch_contig"]
+    )
+    out = extract_group_key(names, "sample[A-Z]").to_pylist()
+    assert out == ["sampleA", "sampleA", "sampleB", None]
