@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
+        "common_span_pairs": textops.common_span_pairs,
         # similarity search
         "embedding_topk": ann.embedding_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         # minhash_dedup_docs / simhash_near_pairs / embedding_neardup_lsh /
-        # langid_docs / doc_fingerprints: sketch/heuristic-based, not
-        # SQL-expressible — rows-only driver check; pinned by pytest oracles.
+        # langid_docs / doc_fingerprints / common_span_pairs: sketch-,
+        # heuristic- or LCS-based, not SQL-expressible — rows-only driver
+        # check; pinned by pytest oracles.
     }

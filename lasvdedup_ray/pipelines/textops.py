@@ -329,3 +329,59 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         .aggregate(Min("hamming", alias_name="hamming"))
     )
     return pairs.sort(["id_a", "id_b"])
+
+
+def common_span_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Exact near-dup SPANS: for each n-gram-Jaccard near-dup pair, the
+    longest common substring (length + offsets) via the binary-search +
+    rolling-hash stage (suffix-array-equivalent output; rows-only check —
+    LCS is not SQL-expressible)."""
+    import ray as _ray
+
+    from ..stages.spans import common_spans
+
+    pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold).to_pandas()
+    if not len(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "lcs_len": pa.array([], pa.int64()),
+                }
+            )
+        )
+    needed = set(pairs["id_a"]) | set(pairs["id_b"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ref = _ray.put(needed)
+
+    def grab(t: pa.Table) -> pa.Table:
+        want = _ray.get(ref)
+        return t.filter(pa.array([int(i) in want for i in t["doc_id"].to_pylist()]))
+
+    sub = docs.map_batches(grab, batch_format="pyarrow").to_pandas()
+    cm = dict(zip(sub["doc_id"], sub["text"]))
+    with_content = pa.table(
+        {
+            "id_a": pa.array([str(x) for x in pairs["id_a"]], pa.string()),
+            "id_b": pa.array([str(x) for x in pairs["id_b"]], pa.string()),
+            "content_a": pa.array([cm[x] for x in pairs["id_a"]], pa.large_string()),
+            "content_b": pa.array([cm[x] for x in pairs["id_b"]], pa.large_string()),
+        }
+    )
+    spans = common_spans(ray.data.from_arrow(with_content))
+
+    def to_int_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": pc.cast(t["id_a"], pa.int64()),
+                "id_b": pc.cast(t["id_b"], pa.int64()),
+                "lcs_len": t["lcs_len"],
+                "offset_a": t["offset_a"],
+                "offset_b": t["offset_b"],
+            }
+        )
+
+    return spans.map_batches(to_int_ids, batch_format="pyarrow").sort(["id_a", "id_b"])
