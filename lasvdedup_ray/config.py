@@ -95,6 +95,14 @@ class LSHConfig:
     band_cap: int = 256
     cap_neighbors: int = 4
     pair_batch_rows: int = 65536
+    # hot-bucket key set: collected exactly (sorted uint64 array) while the
+    # distinct colliding-key count fits this cap; above it, a fixed-size
+    # two-probe bloom bitmap is built instead (streaming, bounded driver
+    # memory — a false positive only ships one extra row into the shuffle,
+    # never drops a pair).
+    hot_exact_cap: int = 4_000_000
+    bloom_bits_per_key: int = 16
+    bloom_max_bits: int = 1 << 31  # 256 MiB bitmap ceiling
     # pairs with est_distance in (tau - exact_margin_low, tau +
     # exact_margin_high] get an exact-Jaccard re-check: removes MinHash
     # estimator noise at the inclusive <= boundary the reference pins

@@ -64,11 +64,17 @@ SINGLE, BELOW, SMALL, OUTLIERS, COINF = (
     "TrueCoinfection",
 )
 
-# above this cluster size, skip the O(g^2) all-pairs check (Case 2 can only
-# be decided negatively for huge clusters anyway in practice) and the full
-# member list in group_members
+# above this cluster size the O(g^2) all-pairs check is replaced by an exact
+# metric bound on distance-to-representative (normalized Hamming distance
+# between signature vectors is a metric, so max(d_rep) <= tau/2 implies every
+# pairwise distance <= tau) plus a deterministic stride sample in the
+# inconclusive band — Case 2 is never decided negatively *solely* because the
+# quadratic check was skipped.  group_members is truncated above
+# MEMBER_LIST_CAP with an explicit "...+N more" marker (observable cap).
 PAIRWISE_CAP = 4096
 MEMBER_LIST_CAP = 100
+# deterministic pseudo-random pair sample size for the inconclusive band
+CASE2_SAMPLE_PAIRS = 4096
 
 
 def compute_ranks(
@@ -112,7 +118,12 @@ def make_cluster_classifier(config: PipelineConfig):
         ]
         ranks = compute_ranks(n_chars, ids.astype(str), selection, th.target_length)
         best_idx = int(np.argmin(ranks))
-        members = list(map(str, ids)) if m <= MEMBER_LIST_CAP else []
+        if m <= MEMBER_LIST_CAP:
+            members = list(map(str, ids))
+        else:
+            # observable truncation: capped head + explicit marker row
+            members = list(map(str, ids[:MEMBER_LIST_CAP]))
+            members.append(f"...+{m - MEMBER_LIST_CAP} more")
 
         def out(cls, cat, reasons, rep_idx):
             return pa.table(
@@ -139,22 +150,48 @@ def make_cluster_classifier(config: PipelineConfig):
 
         sigs = sigs_to_matrix(g.column("minhash").to_pylist(), sig_cfg.num_perms)
         best_id = str(ids[best_idx])
+        # distance to the best-ranked representative (reused by Case 4);
+        # normalized Hamming distance over signature slots is a true metric
+        d_rep = 1.0 - (sigs == sigs[best_idx]).mean(axis=1)
 
         # Case 2: all pairwise distances <= tau (inclusive)
         if m <= PAIRWISE_CAP:
             iu, ju = np.triu_indices(m, k=1)
             dists = 1.0 - (sigs[iu] == sigs[ju]).mean(axis=1)
-            if dists.size == 0 or np.all(dists <= th.tau):
-                cls = [DUPLICATE] * m
-                cls[best_idx] = KEEP
-                reasons = [
-                    f"Duplicate of {best_id} (distance <= {th.tau})" for _ in range(m)
-                ]
-                reasons[best_idx] = (
-                    f"Selected as best representative (rank 1) from nearly "
-                    f"identical sequences (distances <= {th.tau})"
+            case2 = bool(dists.size == 0 or np.all(dists <= th.tau))
+        else:
+            # Mega-cluster path: triangle inequality gives
+            # d(a,b) <= d(a,rep) + d(rep,b) <= 2*max(d_rep), so
+            # max(d_rep) <= tau/2 proves every pairwise <= tau without the
+            # O(m^2) check.  max(d_rep) > tau disproves it (d_rep IS a
+            # pairwise distance).  In between, a deterministic stride sample
+            # of pairs decides — never fall through to TrueCoinfection just
+            # because the quadratic check was skipped.
+            dmax = float(d_rep.max())
+            if dmax <= th.tau / 2.0:
+                case2 = True
+            elif dmax > th.tau:
+                case2 = False
+            else:
+                n_strides = max(1, min(-(-CASE2_SAMPLE_PAIRS // m), m - 1))
+                base = np.arange(m)
+                iu = np.tile(base, n_strides)
+                ju = np.concatenate(
+                    [(base + s) % m for s in range(1, n_strides + 1)]
                 )
-                return out(cls, BELOW, reasons, best_idx)
+                dists = 1.0 - (sigs[iu] == sigs[ju]).mean(axis=1)
+                case2 = bool(np.all(dists <= th.tau))
+        if case2:
+            cls = [DUPLICATE] * m
+            cls[best_idx] = KEEP
+            reasons = [
+                f"Duplicate of {best_id} (distance <= {th.tau})" for _ in range(m)
+            ]
+            reasons[best_idx] = (
+                f"Selected as best representative (rank 1) from nearly "
+                f"identical sequences (distances <= {th.tau})"
+            )
+            return out(cls, BELOW, reasons, best_idx)
 
         # Case 3: small neighborhood (reference: small MRCA clade)
         if m <= th.min_neighborhood:
@@ -172,7 +209,6 @@ def make_cluster_classifier(config: PipelineConfig):
             return out(cls, SMALL, reasons, best_idx)
 
         # Case 4: MAD outliers over distance-to-representative
-        d_rep = 1.0 - (sigs == sigs[best_idx]).mean(axis=1)
         median = float(np.median(d_rep))
         mad = float(np.median(np.abs(d_rep - median)))
         if mad == 0:

@@ -136,14 +136,28 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
     equality matrix).  Without this, an exact-dup pair collides in every
     band and the edge list inflates x bands (3.5M instead of ~120k edges
     for a 300k-file corpus) — with it, multiplicity is ~1 and no
-    downstream pair-dedup shuffle is needed."""
+    downstream pair-dedup shuffle is needed.
+
+    CAPPED-BAND EXCEPTION (ADVICE r1): a capped bucket emits only
+    SimHash-chained neighbor pairs, so an "earlier" band that was capped
+    may never have emitted the pair — skipping it here would suppress the
+    edge in EVERY band.  Each band row therefore carries ``cmask``, a
+    bitmask of which of its bands landed in a capped (> band_cap) bucket
+    (computed against the global bucket-count side data), and the
+    earlier-band skip only trusts UNCAPPED earlier bands.  Pairs that a
+    capped bucket did chain may then be emitted twice (capped band + a
+    later uncapped band) — multiplicity, not loss; union-find is
+    insensitive and ``dedup_pairs=True`` restores exact uniqueness."""
     num_perms = sig_cfg.num_perms
     cap = lsh_cfg.band_cap
     w = lsh_cfg.cap_neighbors
     rows_per_band = sig_cfg.rows
     n_bands = sig_cfg.bands
+    if n_bands > 64:
+        raise ValueError("cmask capped-band bitmask supports at most 64 bands")
 
     band_arange = np.arange(n_bands, dtype=np.int64)
+    band_arange_u64 = np.arange(n_bands, dtype=np.uint64)
 
     def emit_partition(g: pa.Table) -> pa.Table:
         m = g.num_rows
@@ -153,10 +167,15 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
         bh = g.column("bh").to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = np.asarray(g.column("id").to_pylist(), dtype=object)
         sim = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if "cmask" in g.column_names:
+            cmask = g.column("cmask").to_numpy(zero_copy_only=False).astype(np.uint64)
+        else:  # band rows emitted without the hot/capped prefilter
+            cmask = np.zeros(m, dtype=np.uint64)
         sigs = sig16_matrix(g.column("sig16"), num_perms)
 
         order = np.lexsort((bh, band))
         band, bh, ids, sim, sigs = band[order], bh[order], ids[order], sim[order], sigs[order]
+        cmask = cmask[order]
         boundary = np.ones(m, dtype=bool)
         boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(boundary)
@@ -173,10 +192,17 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
             d = 1.0 - eq.mean(axis=1)
             keep = d <= tau
             # canonical-band: skip pairs whose slots already agreed in an
-            # earlier band (that band emitted them)
+            # earlier UNCAPPED band (that band emitted them).  An earlier
+            # capped band only chained SimHash neighbors, so it cannot be
+            # trusted to have emitted the pair (ADVICE r1).  On an agreeing
+            # band both rows share the bucket, so row a's cmask bit speaks
+            # for the pair.
             b_cur = band[iu]
             band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
-            earlier = (band_eq & (band_arange[None, :] < b_cur[:, None])).any(axis=1)
+            uncapped = ((cmask[iu][:, None] >> band_arange_u64[None, :]) & 1) == 0
+            earlier = (
+                band_eq & uncapped & (band_arange[None, :] < b_cur[:, None])
+            ).any(axis=1)
             keep &= ~earlier
             iu, ju, d = iu[keep], ju[keep], d[keep]
             if iu.size == 0:
@@ -268,23 +294,105 @@ def candidate_pairs(
             {"pkey": pa.array(pk, pa.int32()), "ckey": pa.array(ckey, pa.uint64())}
         )
 
-    def dup_keys(g: pa.Table) -> pa.Table:
-        # vectorized within one hash partition: keys appearing >= 2 times
-        # (a per-key groupby would be millions of tiny Ray groups)
-        ck = np.sort(g.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64))
-        if ck.shape[0] < 2:
-            return pa.table({"ckey": pa.array([], pa.uint64())})
-        dup = ck[1:][ck[1:] == ck[:-1]]
-        return pa.table({"ckey": pa.array(np.unique(dup), pa.uint64())})
+    band_cap = lsh_cfg.band_cap
+    if bands > 64:
+        raise ValueError("cmask capped-band bitmask supports at most 64 bands")
 
-    hot_df = (
+    def dup_keys(g: pa.Table) -> pa.Table:
+        # vectorized within one hash partition: keys appearing >= 2 times,
+        # flagged capped when the bucket exceeds band_cap (a per-key
+        # groupby would be millions of tiny Ray groups).  pkey is derived
+        # from ckey, so partition-local counts are global counts.
+        ck = g.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if ck.shape[0] < 2:
+            return pa.table(
+                {"ckey": pa.array([], pa.uint64()), "capped": pa.array([], pa.bool_())}
+            )
+        uniq, cnt = np.unique(ck, return_counts=True)
+        hot = cnt >= 2
+        return pa.table(
+            {
+                "ckey": pa.array(uniq[hot], pa.uint64()),
+                "capped": pa.array(cnt[hot] > band_cap, pa.bool_()),
+            }
+        )
+
+    # materialize once: the hot-key set is O(colliding buckets), far smaller
+    # than the input, and is consumed twice (count + collect/stream)
+    hot_ds = (
         signed_slim.map_batches(emit_keys, batch_format="pyarrow", batch_size=8192)
         .groupby("pkey")
         .map_groups(dup_keys, batch_format="pyarrow")
-        .to_pandas()
+        .materialize()
     )
-    hot_sorted = np.sort(hot_df["ckey"].to_numpy().astype(np.uint64))
-    hot_ref = ray.put(hot_sorted)
+    n_hot = hot_ds.count()
+    if n_hot == 0:
+        # no bucket has >= 2 members -> no candidate pairs at all (also the
+        # 0/1-row input path: a zero-block dataset here would be schemaless)
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+
+    capped_parts: list = []
+    if n_hot <= lsh_cfg.hot_exact_cap:
+        # exact sorted key array (fast path, small/moderate cardinality)
+        hot_parts: list = []
+        for b in hot_ds.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            ck = b.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64)
+            cp = b.column("capped").to_numpy(zero_copy_only=False)
+            hot_parts.append(ck)
+            if cp.any():
+                capped_parts.append(ck[cp])
+        hot_struct = ("exact", np.sort(np.concatenate(hot_parts)))
+    else:
+        # two-probe bloom bitmap: fixed-size driver memory regardless of
+        # hot-key cardinality; built streaming one batch at a time.  A
+        # false positive ships one extra row into the band shuffle — never
+        # drops a pair.
+        bits = 1 << min(
+            int(n_hot * lsh_cfg.bloom_bits_per_key - 1).bit_length(),
+            int(lsh_cfg.bloom_max_bits).bit_length() - 1,
+        )
+        bmask = np.uint64(bits - 1)
+        bitmap = np.zeros(bits >> 6, dtype=np.uint64)
+        for b in hot_ds.iter_batches(batch_size=1 << 18, batch_format="pyarrow"):
+            ck = b.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64)
+            cp = b.column("capped").to_numpy(zero_copy_only=False)
+            if cp.any():
+                capped_parts.append(ck[cp])
+            for probe in (ck & bmask, _smx(ck) & bmask):
+                np.bitwise_or.at(
+                    bitmap, probe >> np.uint64(6), np.uint64(1) << (probe & np.uint64(63))
+                )
+        hot_struct = ("bloom", bitmap, bmask)
+    # capped buckets (> band_cap members) are rare by construction — keep
+    # the exact sorted set so cmask is never approximate
+    capped_sorted = (
+        np.sort(np.concatenate(capped_parts))
+        if capped_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    hot_ref = ray.put((hot_struct, capped_sorted))
+
+    def _member(struct, comb: np.ndarray) -> np.ndarray:
+        if struct[0] == "exact":
+            hot = struct[1]
+            if not len(hot):
+                return np.zeros(len(comb), dtype=bool)
+            pos = np.searchsorted(hot, comb)
+            pos[pos >= len(hot)] = len(hot) - 1
+            return hot[pos] == comb
+        _, bitmap, bmask = struct
+        ok = np.ones(len(comb), dtype=bool)
+        for probe in (comb & bmask, _smx(comb) & bmask):
+            word = bitmap[probe >> np.uint64(6)]
+            ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
+        return ok
+
+    def _in_sorted(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if not len(arr):
+            return np.zeros(len(vals), dtype=bool)
+        pos = np.searchsorted(arr, vals)
+        pos[pos >= len(arr)] = len(arr) - 1
+        return arr[pos] == vals
 
     # ---- phase 2: signature shuffle over colliding rows only --------------
     def emit_with_pkey(t: pa.Table) -> pa.Table:
@@ -293,14 +401,23 @@ def candidate_pairs(
             if hot_ref not in _WORKER_HOT_CACHE:
                 _WORKER_HOT_CACHE.clear()
                 _WORKER_HOT_CACHE[hot_ref] = ray.get(hot_ref)
-            hot = _WORKER_HOT_CACHE[hot_ref]
+            hot_struct_w, capped_w = _WORKER_HOT_CACHE[hot_ref]
             bnd = bt["band"].to_numpy(zero_copy_only=False).astype(np.int64)
             bhv = bt["bh"].to_numpy(zero_copy_only=False).astype(np.uint64)
             comb = _smx(bhv ^ _smx(bnd.astype(np.uint64)))
-            pos = np.searchsorted(hot, comb)
-            pos[pos >= len(hot)] = max(len(hot) - 1, 0)
-            mask = pa.array(hot[pos] == comb if len(hot) else np.zeros(len(comb), bool))
-            bt = bt.filter(mask)
+            # per-row bitmask of capped bands (band rows are row-major:
+            # row0 band0..b-1, row1 band0..b-1, ...)
+            capped_bits = _in_sorted(capped_w, comb).reshape(-1, bands)
+            cmask = np.bitwise_or.reduce(
+                capped_bits.astype(np.uint64) << np.arange(bands, dtype=np.uint64),
+                axis=1,
+            )
+            bt = bt.append_column(
+                "cmask", pa.array(np.repeat(cmask, bands), pa.uint64())
+            )
+            bt = bt.filter(pa.array(_member(hot_struct_w, comb)))
+        else:
+            bt = bt.append_column("cmask", pa.array([], pa.uint64()))
         pkey = pc.cast(
             pc.bit_wise_and(bt["bh"], pa.scalar(np.uint64(num_partitions - 1), pa.uint64())),
             pa.int32(),

@@ -127,6 +127,48 @@ def test_case5_true_distinct():
     assert set(out["classification"].to_pylist()) == {DISTINCT}
 
 
+def test_megacluster_identical_below_threshold_not_coinfection():
+    # ADVICE r1 (high): > PAIRWISE_CAP byte-identical docs must NOT fall
+    # through to TrueCoinfection — metric bound max(d_rep)=0 <= tau/2
+    # proves Case 2 without the O(m^2) check.
+    m = 4106
+    ids = [f"m{i:05d}" for i in range(m)]
+    sig = make_sig()
+    out = classify(group_table(ids, [sig] * m))
+    assert set(out["decision_category"].to_pylist()) == {BELOW}
+    cls = out["classification"].to_pylist()
+    assert cls.count(KEEP) == 1 and cls.count(DUPLICATE) == m - 1
+    # observable group_members truncation: capped head + "...+N more" marker
+    members = out["group_members"][0].as_py()
+    assert len(members) == 101 and members[-1] == f"...+{m - 100} more"
+
+
+def test_megacluster_inconclusive_sample_positive():
+    # all pairwise ~0.148 <= tau, but max(d_rep)=0.148 > tau/2 => the
+    # deterministic stride sample must confirm Case 2
+    m = 4100
+    ids = [f"m{i:05d}" for i in range(m)]
+    sigs = [make_sig()] + [make_sig(d_slots(0.15), tag=i) for i in range(1, m)]
+    out = classify(group_table(ids, sigs))
+    assert set(out["decision_category"].to_pylist()) == {BELOW}
+    assert out["classification"].to_pylist().count(KEEP) == 1
+
+
+def test_megacluster_sample_detects_over_threshold():
+    # two sub-populations differing in disjoint slot ranges: cross-pairs
+    # ~0.297 > tau, d_rep ~0.148 <= tau (inconclusive band) — the stride
+    # sample must reject Case 2; with no outliers this is genuinely Case 5
+    m = 4100
+    ids = [f"m{i:05d}" for i in range(m)]
+    sigs = [make_sig()]
+    for i in range(1, m):
+        lo = 0 if i % 2 == 0 else 19
+        sigs.append(make_sig(list(range(lo, lo + 19)), tag=i))
+    out = classify(group_table(ids, sigs))
+    assert set(out["decision_category"].to_pylist()) == {COINF}
+    assert set(out["classification"].to_pylist()) == {DISTINCT}
+
+
 def test_rank_tiebreak_on_id():
     # equal len-distance and selection => id ascending wins (the value-based
     # total order replacing the reference's insertion-order min())

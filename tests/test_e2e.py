@@ -149,3 +149,39 @@ def test_deterministic_reruns(corpus_tables):
     b = b.sort_values("id").reset_index(drop=True)
     for col in ["id", "cluster_id", "classification", "decision_category", "rank"]:
         assert (a[col] == b[col]).all(), col
+
+
+def test_degenerate_inputs_single_and_empty():
+    """A 1-row input (zero colliding buckets) and a 0-row input must flow
+    through the whole pipeline (round-1 bug: empty hot-key set crashed
+    candidate_pairs with a schemaless pandas frame)."""
+    import pyarrow as pa
+
+    one = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r"],
+                "path": ["p"],
+                "commit": ["c"],
+                "lang": ["py"],
+                "content": ["solitary content with no possible partner"],
+            }
+        )
+    )
+    rows = dedup_pipeline(one, PipelineConfig()).take_all()
+    assert len(rows) == 1
+    assert rows[0]["classification"] == "keep"
+    assert rows[0]["decision_category"] == "SingleSequence"
+
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([], pa.string()),
+                "path": pa.array([], pa.string()),
+                "commit": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "content": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert dedup_pipeline(empty, PipelineConfig()).count() == 0

@@ -79,3 +79,35 @@ def test_tiny_band_cap_preserves_exact_dup_recall():
                  for full, p in zip(out["id"], out["id"].str.split(":").str[1])}
     for members in truth_groups:
         assert len({cl[id_by_idx[m]] for m in members}) == 1
+
+
+def test_capped_earlier_band_does_not_suppress_pair():
+    """ADVICE r1: if a pair's first agreeing band landed in a CAPPED bucket
+    (which only chains SimHash neighbors), a later uncapped band must still
+    emit the pair — the earlier-band skip may only trust uncapped bands.
+    Band rows are fed directly to the partition pair emitter with ``cmask``
+    marking band 0 capped."""
+    from lasvdedup_ray.stages.lsh import make_partition_pair_emitter
+
+    sig_cfg = SignatureConfig(k=1, num_perms=8, bands=2, rows=4)
+    emit = make_partition_pair_emitter(sig_cfg, LSHConfig(), tau=0.2)
+    sig = np.arange(8, dtype=np.uint16).tobytes()  # identical sigs -> d=0
+
+    def part(cmask_bits):
+        return pa.table(
+            {
+                "band": pa.array([1, 1], pa.int32()),
+                "bh": pa.array([99, 99], pa.uint64()),
+                "id": pa.array(["a", "b"], pa.string()),
+                "sig16": pa.array([sig, sig], pa.binary(16)),
+                "simhash": pa.array([0, 1], pa.uint64()),
+                "cmask": pa.array([cmask_bits, cmask_bits], pa.uint64()),
+            }
+        )
+
+    # band 0 capped (bit 0 set): the band-1 bucket must emit the pair
+    out = emit(part(1))
+    assert out.num_rows == 1
+    assert out["id_a"].to_pylist() == ["a"] and out["id_b"].to_pylist() == ["b"]
+    # band 0 uncapped: canonical-band emission skips (band 0 emitted it)
+    assert emit(part(0)).num_rows == 0
