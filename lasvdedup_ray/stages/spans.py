@@ -21,11 +21,47 @@ import ray.data
 from ..functions.hashing import U64, _POLY_MULT, splitmix64
 
 
+# _POLY_MULT is odd, hence invertible mod 2^64 — windowed polynomial hashes
+# can be recovered from position-weighted prefix sums by multiplying with
+# inverse powers, giving O(n) time AND memory per length probe (the naive
+# sliding_window_view materializes an (n-L+1) x L matrix: ~20 GB for a
+# 100 KB doc at L ~ n/2).
+_POLY_INV = U64(pow(int(_POLY_MULT), -1, 1 << 64))
+
+
+def _prefix_state(arr: np.ndarray):
+    """Per-string precomputation shared by every length probe.
+
+    Returns (cs, inv_pows) with
+      cs[i]      = sum_{j<i} arr[j] * M^(n-1-j)   (mod 2^64)
+      inv_pows[k] = M^-k                           (mod 2^64)
+    so that hash of window [i, i+L) = (cs[i+L]-cs[i]) * inv_pows[n-L-i].
+    """
+    n = len(arr)
+    pows_asc = np.empty(n, dtype=U64)  # M^0 .. M^(n-1)
+    pows_asc[0] = 1
+    if n > 1:
+        np.multiply.accumulate(np.full(n - 1, _POLY_MULT, dtype=U64), out=pows_asc[1:])
+    w = arr.astype(U64) * pows_asc[::-1]
+    cs = np.empty(n + 1, dtype=U64)
+    cs[0] = 0
+    np.cumsum(w, dtype=U64, out=cs[1:])
+    inv_pows = np.empty(n + 1, dtype=U64)
+    inv_pows[0] = 1
+    np.multiply.accumulate(np.full(n, _POLY_INV, dtype=U64), out=inv_pows[1:])
+    return cs, inv_pows
+
+
+def _window_hashes(state, n: int, L: int) -> np.ndarray:
+    """splitmix-finalized polynomial hashes of all L-grams — O(n)."""
+    cs, inv_pows = state
+    sums = cs[L:] - cs[: n - L + 1]
+    return splitmix64(sums * inv_pows[n - L :: -1])
+
+
 def _length_hashes(arr: np.ndarray, L: int) -> np.ndarray:
     """splitmix-finalized polynomial hashes of all L-grams of a byte array."""
-    win = np.lib.stride_tricks.sliding_window_view(arr, L).astype(U64)
-    pows = _POLY_MULT ** np.arange(L - 1, -1, -1, dtype=U64)
-    return splitmix64((win * pows).sum(axis=1, dtype=U64))
+    return _window_hashes(_prefix_state(arr), len(arr), L)
 
 
 def longest_common_substring(a: bytes, b: bytes) -> Tuple[int, int, int]:
@@ -39,14 +75,16 @@ def longest_common_substring(a: bytes, b: bytes) -> Tuple[int, int, int]:
         return 0, 0, 0
     aa = np.frombuffer(a, dtype=np.uint8)
     bb = np.frombuffer(b, dtype=np.uint8)
+    state_a = _prefix_state(aa)
+    state_b = _prefix_state(bb)
 
     def probe(L: int) -> Optional[Tuple[int, int]]:
         if L == 0:
             return (0, 0)
         if L > len(aa) or L > len(bb):
             return None
-        ha = _length_hashes(aa, L)
-        hb = _length_hashes(bb, L)
+        ha = _window_hashes(state_a, len(aa), L)
+        hb = _window_hashes(state_b, len(bb), L)
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
         if common.shape[0] == 0:
             return None

@@ -48,3 +48,18 @@ def test_common_spans_stage():
     assert len(out) == 1
     row = out.iloc[0]
     assert row["lcs_len"] == len(" SHARED-SPAN-HERE ")
+
+
+def test_large_doc_linear_memory():
+    """ADVICE r1: L ~ n/2 probes on ~100 KB docs must not materialize an
+    (n-L+1) x L window matrix (was ~GBs); the prefix-sum rolling hash is
+    O(n) per probe."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    common = bytes(rng.integers(32, 127, 40_000, dtype=np.uint8))
+    a = bytes(rng.integers(32, 127, 20_000, dtype=np.uint8)) + common
+    b = common + bytes(rng.integers(32, 127, 30_000, dtype=np.uint8))
+    L, oa, ob = longest_common_substring(a, b)
+    assert L >= 40_000
+    assert a[oa : oa + L] == b[ob : ob + L]
