@@ -7,35 +7,42 @@ hold dup-pair recall >= 0.99 *at* the boundary, pairs whose estimated
 distance lies within ``exact_margin`` of tau are re-checked with the exact
 shingle-set Jaccard.
 
-Execution shape: the borderline set is tiny by construction (only pairs in
-the ±margin band around tau), so its endpoint id-set is broadcast
-(``ray.put``), the matching contents are filtered out of the corpus in one
-distributed ``map_batches`` pass (no shuffle), and the exact Jaccard check
-runs on the collected subset.  Pairs with est_distance <= tau - margin are
-accepted outright; pairs with est_distance > tau + margin were never
-emitted by the LSH stage.  If the borderline set exceeds
-``max_driver_pairs`` the check degrades gracefully to trusting the
-estimates (logged), rather than shipping unbounded content.
+Execution shape (fully distributed — no driver-size degradation):
+- the sure set (est <= tau - margin_low) passes through a distributed
+  filter untouched;
+- the borderline set (est > tau - margin_low; the high side tau +
+  margin_high was already enforced at LSH emission) is tiny by
+  construction.  Below ``border_driver_cap`` pairs its contents are
+  attached on the driver (one broadcast filter pass, bounded).  Above it,
+  a FIXED-SIZE bloom bitmap over endpoint-id hashes pre-filters the
+  content table (bounded driver memory; a false positive only ships one
+  extra content row), and the exact check runs behind a distributed double
+  hash join — boundary pairs are exact-checked at EVERY scale.
 """
 
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
 
 from ..config import LSHConfig, SignatureConfig
-from ..functions.hashing import shingle_hashes
+from ..functions.hashing import shingle_hashes, splitmix64
 from .lsh import PAIR_SCHEMA
 
 logger = logging.getLogger(__name__)
 
-MAX_DRIVER_PAIRS = 500_000
+# below this many borderline pairs, attach contents on the driver (bounded
+# and faster than two join shuffles); above it, go fully distributed
+BORDER_DRIVER_CAP = 5_000
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_MAX_BITS = 1 << 31
 
 
 def _normalize(s: str, cfg: SignatureConfig) -> bytes:
@@ -44,6 +51,12 @@ def _normalize(s: str, cfg: SignatureConfig) -> bytes:
     if cfg.collapse_ws:
         s = " ".join(s.split())
     return s.encode("utf-8")
+
+
+def _id_hash64(ids) -> np.ndarray:
+    """Vectorized, process-stable 64-bit hash of an id string array
+    (pandas' cython siphash with its fixed default key)."""
+    return pd.util.hash_array(np.asarray(ids, dtype=object), categorize=False)
 
 
 def exact_jaccard_for_pairs(contents_a, contents_b, cfg: SignatureConfig) -> np.ndarray:
@@ -58,6 +71,27 @@ def exact_jaccard_for_pairs(contents_a, contents_b, cfg: SignatureConfig) -> np.
     return out
 
 
+def _make_check_batch(sig_cfg: SignatureConfig, tau: float):
+    def check_batch(t: pa.Table) -> pa.Table:
+        ia = t["id_a"].to_pylist()
+        ib = t["id_b"].to_pylist()
+        ja = exact_jaccard_for_pairs(
+            t["content_a"].to_pylist(), t["content_b"].to_pylist(), sig_cfg
+        )
+        d_exact = 1.0 - ja
+        keep = d_exact <= tau  # inclusive boundary (sequence_grouping.py:53)
+        return pa.table(
+            {
+                "id_a": pa.array([x for x, k in zip(ia, keep) if k], pa.string()),
+                "id_b": pa.array([x for x, k in zip(ib, keep) if k], pa.string()),
+                "est_distance": pa.array(d_exact[keep], pa.float64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+    return check_batch
+
+
 def verify_pairs(
     pairs: ray.data.Dataset,
     content_by_id: ray.data.Dataset,
@@ -65,6 +99,7 @@ def verify_pairs(
     lsh_cfg: Optional[LSHConfig] = None,
     tau: float = 0.2,
     num_partitions: int = 32,
+    border_driver_cap: int = BORDER_DRIVER_CAP,
 ) -> ray.data.Dataset:
     """Split candidate pairs into sure / borderline; exact-verify the
     borderline slice.  Returns the verified edge list (id_a, id_b,
@@ -90,35 +125,24 @@ def verify_pairs(
             batch_format="pyarrow",
         )
     m = lsh_cfg.exact_margin_low
-    n_pairs = pairs.count()  # metadata-only on the materialized dataset
+    sure = pairs.map_batches(
+        _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau - m)),
+        batch_format="pyarrow",
+    )
+    border = pairs.map_batches(
+        _safe_filter(lambda t: pc.greater(t["est_distance"], tau - m)),
+        batch_format="pyarrow",
+    ).materialize()
+    n_border = border.count()
+    if n_border == 0:
+        return sure
 
-    if n_pairs <= MAX_DRIVER_PAIRS:
-        # common case: the verified-candidate set is tiny relative to the
-        # corpus — split sure/borderline and exact-check on the driver in
-        # ONE extra distributed pass (the content grab), instead of three
-        # separate Ray executions (borderline materialize + filter + join)
-        pdf = pairs.to_pandas()
-        if len(pdf) == 0:
-            return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
-        pdf = pdf.drop_duplicates(subset=["id_a", "id_b"])
-        border_mask = (pdf["est_distance"] > tau - m).to_numpy()
-        sure_df = pdf[~border_mask]
-        bdf = pdf[border_mask]
-        sure_t = pa.table(
-            {
-                "id_a": pa.array(list(sure_df["id_a"]), pa.string()),
-                "id_b": pa.array(list(sure_df["id_b"]), pa.string()),
-                "est_distance": pa.array(
-                    sure_df["est_distance"].to_numpy(), pa.float64()
-                ),
-            },
-            schema=PAIR_SCHEMA,
-        )
-        if not len(bdf):
-            return ray.data.from_arrow(sure_t)
+    check_batch = _make_check_batch(sig_cfg, tau)
 
-        # collect borderline-endpoint contents in one distributed filter
-        # pass (no shuffle), then attach contents to pairs and exact-check
+    if n_border <= border_driver_cap:
+        # few borderline pairs: attach contents on the driver (bounded by
+        # the cap; distributed joins would add two shuffles of latency)
+        bdf = border.to_pandas()
         needed = set(bdf["id_a"]) | set(bdf["id_b"])
         id_ref = ray.put(needed)
 
@@ -127,88 +151,79 @@ def verify_pairs(
             mask = pa.array([i in want for i in t["id"].to_pylist()])
             return t.filter(mask)
 
-        def check_batch(t: pa.Table) -> pa.Table:
-            ia = t["id_a"].to_pylist()
-            ib = t["id_b"].to_pylist()
-            ja = exact_jaccard_for_pairs(
-                t["content_a"].to_pylist(), t["content_b"].to_pylist(), sig_cfg
-            )
-            d_exact = 1.0 - ja
-            keep = d_exact <= tau  # inclusive boundary (sequence_grouping.py:53)
-            return pa.table(
-                {
-                    "id_a": pa.array([x for x, k in zip(ia, keep) if k], pa.string()),
-                    "id_b": pa.array([x for x, k in zip(ib, keep) if k], pa.string()),
-                    "est_distance": pa.array(d_exact[keep], pa.float64()),
-                },
-                schema=PAIR_SCHEMA,
-            )
-
-        if len(bdf) <= 5_000:
-            # few pairs: attach contents on the driver (distributed joins
-            # would leave empty, schemaless partitions and add latency)
-            sub = content_by_id.map_batches(grab, batch_format="pyarrow").to_pandas()
-            content_map = dict(zip(sub["id"], sub["content"]))
-            bdf = bdf.sort_values("id_a")
-            border_t = pa.table(
-                {
-                    "id_a": pa.array(list(bdf["id_a"]), pa.string()),
-                    "id_b": pa.array(list(bdf["id_b"]), pa.string()),
-                    "est_distance": pa.array(bdf["est_distance"].to_numpy(), pa.float64()),
-                    "content_a": pa.array(
-                        [content_map[x] for x in bdf["id_a"]], pa.large_string()
-                    ),
-                    "content_b": pa.array(
-                        [content_map[x] for x in bdf["id_b"]], pa.large_string()
-                    ),
-                }
-            )
-            checked_ds = ray.data.from_arrow(border_t).map_batches(
-                check_batch, batch_format="pyarrow", batch_size=1024
-            )
-            return ray.data.from_arrow(sure_t).union(checked_ds)
-
-        # many pairs: fully distributed — double hash join against the
-        # filtered content subset, with both sides PRE-renamed so no
-        # map_batches sits between the joins (a zero-block post-map
-        # partition is schemaless and crashes Arrow's join)
-        sub_ds = content_by_id.map_batches(grab, batch_format="pyarrow").materialize()
-        content_a_ds = sub_ds.map_batches(
-            lambda t: pa.table({"id_a": t["id"], "content_a": t["content"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        content_b_ds = sub_ds.map_batches(
-            lambda t: pa.table({"id_b": t["id"], "content_b": t["content"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        border_ds = ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array(list(bdf["id_a"]), pa.string()),
-                    "id_b": pa.array(list(bdf["id_b"]), pa.string()),
-                    "est_distance": pa.array(bdf["est_distance"].to_numpy(), pa.float64()),
-                }
-            )
+        sub = content_by_id.map_batches(grab, batch_format="pyarrow").to_pandas()
+        content_map = dict(zip(sub["id"], sub["content"]))
+        bdf = bdf.sort_values(["id_a", "id_b"])
+        border_t = pa.table(
+            {
+                "id_a": pa.array(list(bdf["id_a"]), pa.string()),
+                "id_b": pa.array(list(bdf["id_b"]), pa.string()),
+                "est_distance": pa.array(bdf["est_distance"].to_numpy(), pa.float64()),
+                "content_a": pa.array(
+                    [content_map[x] for x in bdf["id_a"]], pa.large_string()
+                ),
+                "content_b": pa.array(
+                    [content_map[x] for x in bdf["id_b"]], pa.large_string()
+                ),
+            }
         )
-        j = border_ds.join(
-            content_a_ds, join_type="inner", num_partitions=num_partitions, on=("id_a",)
-        ).join(
-            content_b_ds, join_type="inner", num_partitions=num_partitions, on=("id_b",)
+        checked_ds = ray.data.from_arrow(border_t).map_batches(
+            check_batch, batch_format="pyarrow", batch_size=1024
         )
-        checked_ds = j.map_batches(check_batch, batch_format="pyarrow", batch_size=1024)
-        return ray.data.from_arrow(sure_t).union(checked_ds)
+        return sure.union(checked_ds)
 
-    # scale path: candidate set too large for the driver — keep everything
-    # distributed and trust the signature estimates at the boundary
-    # (logged, never silent; at this edge volume the margin pairs are a
-    # vanishing fraction)
-    logger.warning(
-        "candidate pair set %d > %d: skipping driver-side exact verify, "
-        "using signature estimates at the boundary",
-        n_pairs,
-        MAX_DRIVER_PAIRS,
+    # ---- fully distributed path (any scale, bounded driver memory) --------
+    # 1. fixed-size bloom bitmap over borderline endpoint-id hashes, built
+    #    streaming one batch at a time (driver holds the bitmap + a batch)
+    bits = 1 << min(
+        int(2 * n_border * _BLOOM_BITS_PER_KEY - 1).bit_length(),
+        _BLOOM_MAX_BITS.bit_length() - 1,
     )
-    return pairs.map_batches(
-        _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau)),
+    bmask = np.uint64(bits - 1)
+    bitmap = np.zeros(bits >> 6, dtype=np.uint64)
+    for b in border.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for col in ("id_a", "id_b"):
+            h = _id_hash64(b.column(col).to_pylist())
+            for probe in (h & bmask, splitmix64(h) & bmask):
+                np.bitwise_or.at(
+                    bitmap, probe >> np.uint64(6), np.uint64(1) << (probe & np.uint64(63))
+                )
+    bloom_ref = ray.put((bitmap, bmask))
+
+    # 2. distributed content pre-filter: only (probably-)needed rows enter
+    #    the join shuffles; a false positive ships one extra row, a miss is
+    #    impossible, so no boundary pair escapes the exact check
+    def grab_bloom(t: pa.Table) -> pa.Table:
+        bm, mask = ray.get(bloom_ref)
+        h = _id_hash64(t["id"].to_pylist())
+        ok = np.ones(len(h), dtype=bool)
+        for probe in (h & mask, splitmix64(h) & mask):
+            word = bm[probe >> np.uint64(6)]
+            ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(ok))
+
+    sub_ds = content_by_id.map_batches(grab_bloom, batch_format="pyarrow").materialize()
+    # both sides PRE-renamed so no map_batches sits between the joins (a
+    # zero-block post-map partition is schemaless and crashes Arrow's join)
+    content_a_ds = sub_ds.map_batches(
+        lambda t: pa.table({"id_a": t["id"], "content_a": t["content"]}),
         batch_format="pyarrow",
+    ).materialize()
+    content_b_ds = sub_ds.map_batches(
+        lambda t: pa.table({"id_b": t["id"], "content_b": t["content"]}),
+        batch_format="pyarrow",
+    ).materialize()
+    # repartition between the joins: directly chained hash joins crash in
+    # Ray 2.49 (the second join's aggregator builds zero-shard partitions
+    # as 0-column tables); repartition coalesces blocks and restores a
+    # uniform schema.  It only moves the (small) borderline pair rows +
+    # content_a — not the corpus.
+    j = (
+        border.join(
+            content_a_ds, join_type="inner", num_partitions=num_partitions, on=("id_a",)
+        )
+        .repartition(num_partitions)
+        .join(content_b_ds, join_type="inner", num_partitions=num_partitions, on=("id_b",))
     )
+    checked_ds = j.map_batches(check_batch, batch_format="pyarrow", batch_size=1024)
+    return sure.union(checked_ds)
