@@ -205,10 +205,18 @@ def oracle_sql() -> dict[str, str]:
                             ELSE substr(text, CAST(i AS INTEGER), 8) END AS shingle
                 FROM pos
             ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            -- doc-frequency cap (= lasvdedup_ray NGRAM_DF_CAP): shingles in
+            -- more than 128 docs are boilerplate, excluded from the
+            -- similarity universe on BOTH engines
+            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            shk AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN df ON sh.shingle = df.shingle WHERE df.df <= 128
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM sh a JOIN sh b
+                FROM shk a JOIN shk b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             )

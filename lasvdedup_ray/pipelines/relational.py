@@ -16,6 +16,8 @@ hashes; integer quantization makes the comparison exact.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -23,6 +25,42 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# ---- size-gated join planning ---------------------------------------------
+# A dimension side is BROADCAST (ray.put once, worker-cached lookup, no
+# shuffle of the fact table) only while its on-disk parquet size fits this
+# budget; beyond it the plan switches to a distributed hash join — a
+# fact-sized table must never become driver state (VERDICT r1 #1).
+BROADCAST_BUDGET_BYTES = 64 * (1 << 20)
+
+_BCAST_CACHE: dict = {}
+
+
+def _cached_get(ref):
+    """Per-worker-process cache for broadcast refs: ray.get once per worker,
+    not once per batch."""
+    if ref not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()
+        _BCAST_CACHE[ref] = ray.get(ref)
+    return _BCAST_CACHE[ref]
+
+
+def _fits_broadcast(*paths: str, budget: int) -> bool:
+    try:
+        return sum(os.path.getsize(p) for p in paths) <= budget
+    except OSError:
+        return False
+
+
+def _join_partitions(requested: int = 32) -> int:
+    """Clamp hash-join partition count to the cluster CPU count: Ray's
+    hash-shuffle join spawns aggregator actors per partition and DEADLOCKS
+    when they exceed available CPUs (observed on Ray 2.49 local mode)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    return max(2, min(requested, n))
 
 
 def quantize(t: pa.Table, cols, scale: int = 10_000, suffix: str = "_e4") -> pa.Table:
@@ -76,8 +114,15 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     ).sort(["l_returnflag", "l_linestatus"])
 
 
-def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
-    """Join + aggregate + deterministic top-10 (revenue DESC, o_orderkey ASC)."""
+def q3_top_orders(
+    sf_dir: str, broadcast_budget: int = BROADCAST_BUDGET_BYTES
+) -> ray.data.Dataset:
+    """Join + aggregate + deterministic top-10 (revenue DESC, o_orderkey ASC).
+
+    Size-gated plan: ``orders`` is broadcast (dict via ray.put, worker-
+    cached) while its parquet fits ``broadcast_budget``; beyond that it is
+    fact-sized and the plan switches to a distributed hash join of the
+    (already per-order pre-aggregated) revenue against ``orders``."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -92,115 +137,195 @@ def q3_top_orders(sf_dir: str) -> ray.data.Dataset:
         .groupby("l_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
-    # orders is a many-to-one lookup side — broadcast it (ray.put once)
-    # instead of hash-joining the aggregated facts
-    import pyarrow.parquet as pq
+    opath = f"{sf_dir}/orders.parquet"
+    ocols = ["o_orderkey", "o_orderdate", "o_orderpriority"]
 
-    ot = pq.read_table(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    )
-    omap = {
-        int(k): (int(d) // 1_000_000, p)
-        for k, d, p in zip(
-            ot["o_orderkey"].to_pylist(),
-            ot["o_orderdate"].cast(pa.int64()).to_pylist(),
-            ot["o_orderpriority"].to_pylist(),
+    if _fits_broadcast(opath, budget=broadcast_budget):
+        import pyarrow.parquet as pq
+
+        ot = pq.read_table(opath, columns=ocols)
+        omap = {
+            int(k): (int(d) // 1_000_000, p)
+            for k, d, p in zip(
+                ot["o_orderkey"].to_pylist(),
+                ot["o_orderdate"].cast(pa.int64()).to_pylist(),
+                ot["o_orderpriority"].to_pylist(),
+            )
+        }
+        oref = ray.put(omap)
+
+        def attach_order(t: pa.Table) -> pa.Table:
+            om = _cached_get(oref)
+            keys = t["l_orderkey"].to_pylist()
+            hits = [om.get(int(k)) for k in keys]
+            mask = pa.array([h is not None for h in hits])
+            out = pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "revenue": t["revenue"],
+                    "o_orderdate_s": pa.array(
+                        [h[0] if h else 0 for h in hits], pa.int64()
+                    ),
+                    "o_orderpriority": pa.array(
+                        [h[1] if h else "" for h in hits], pa.string()
+                    ),
+                }
+            ).filter(mask)
+            return quantize(out, ["revenue"])
+
+        out = rev_by_order.map_batches(attach_order, batch_format="pyarrow")
+    else:
+        orders_ds = ray.data.read_parquet(opath, columns=ocols)
+        j = rev_by_order.join(
+            orders_ds,
+            join_type="inner",
+            num_partitions=_join_partitions(),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
         )
-    }
-    oref = ray.put(omap)
 
-    def attach_order(t: pa.Table) -> pa.Table:
-        if oref not in _Q5_CACHE:
-            _Q5_CACHE.clear()
-            _Q5_CACHE[oref] = ray.get(oref)
-        om = _Q5_CACHE[oref]
-        keys = t["l_orderkey"].to_pylist()
-        hits = [om.get(int(k)) for k in keys]
-        mask = pa.array([h is not None for h in hits])
-        out = pa.table(
-            {
-                "o_orderkey": t["l_orderkey"],
-                "revenue": t["revenue"],
-                "o_orderdate_s": pa.array(
-                    [h[0] if h else 0 for h in hits], pa.int64()
-                ),
-                "o_orderpriority": pa.array(
-                    [h[1] if h else "" for h in hits], pa.string()
-                ),
-            }
-        ).filter(mask)
-        return quantize(out, ["revenue"])
+        def finish(t: pa.Table) -> pa.Table:
+            out = pa.table(
+                {
+                    "o_orderkey": t["l_orderkey"],
+                    "revenue": t["revenue"],
+                    "o_orderdate_s": pc.divide(
+                        pc.cast(t["o_orderdate"], pa.int64()), 1_000_000
+                    ),
+                    "o_orderpriority": t["o_orderpriority"],
+                }
+            )
+            return quantize(out, ["revenue"])
 
-    out = rev_by_order.map_batches(attach_order, batch_format="pyarrow")
+        out = j.map_batches(finish, batch_format="pyarrow")
     return out.sort(["revenue_e4", "o_orderkey"], descending=[True, False]).limit(10)
 
 
-_Q5_CACHE: dict = {}
-
-
-def q5_nation_revenue(sf_dir: str) -> ray.data.Dataset:
-    """Revenue by nation.  All three dimension hops (orderkey -> custkey ->
-    nationkey -> name) are many-to-one LOOKUPS, so the fact scan maps
-    straight to nation via broadcast numpy lookup arrays (ray.put once,
-    worker-cached) with a per-batch combiner — the only shuffle left is
-    the 25-row final groupby.  No hash join touches lineitem."""
+def q5_nation_revenue(
+    sf_dir: str, broadcast_budget: int = BROADCAST_BUDGET_BYTES
+) -> ray.data.Dataset:
+    """Revenue by nation.  While orders+customer fit the broadcast budget,
+    all three dimension hops (orderkey -> custkey -> nationkey -> name) are
+    many-to-one LOOKUPS via broadcast numpy arrays (ray.put once, worker-
+    cached) with a per-batch combiner — the only shuffle is the 25-row
+    final groupby.  Beyond the budget (fact-sized sides must not become
+    driver state) the plan is: per-order pre-aggregate -> hash join orders
+    -> per-customer aggregate -> hash join customer -> per-nation
+    aggregate, with only nation (25 rows) broadcast."""
     import pyarrow.parquet as pq
 
-    orders_t = pq.read_table(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    )
-    cust_t = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+    opath = f"{sf_dir}/orders.parquet"
+    cpath = f"{sf_dir}/customer.parquet"
     nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
-    # dense lookup arrays indexed by key (keys are small positive ints)
-    ok = np.asarray(orders_t["o_orderkey"], dtype=np.int64)
-    oc = np.asarray(orders_t["o_custkey"], dtype=np.int64)
-    order2cust = np.full(ok.max() + 1, -1, dtype=np.int64)
-    order2cust[ok] = oc
-    ck = np.asarray(cust_t["c_custkey"], dtype=np.int64)
-    cn = np.asarray(cust_t["c_nationkey"], dtype=np.int64)
-    cust2nat = np.full(ck.max() + 1, -1, dtype=np.int64)
-    cust2nat[ck] = cn
-    nk = np.asarray(nation_t["n_nationkey"], dtype=np.int64)
-    names = nation_t["n_name"].to_pylist()
-    nat_names = [""] * (int(nk.max()) + 1)
-    for k, nm in zip(nk, names):
-        nat_names[int(k)] = nm
-    ref = ray.put((order2cust, cust2nat, nat_names))
-
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def partial(t: pa.Table) -> pa.Table:
-        if ref not in _Q5_CACHE:
-            _Q5_CACHE.clear()
-            _Q5_CACHE[ref] = ray.get(ref)
-        o2c, c2n, nn = _Q5_CACHE[ref]
-        okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
-        rev = (
-            t["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
-        )
-        nat = c2n[o2c[okeys]]  # inner-join semantics: -1 = missing
-        ok_mask = nat >= 0
-        sums = np.bincount(nat[ok_mask], weights=rev[ok_mask], minlength=len(nn))
-        hit = np.flatnonzero(sums != 0)
-        return pa.table(
-            {
-                "n_name": pa.array([nn[i] for i in hit], pa.string()),
-                "prev": pa.array(sums[hit], pa.float64()),
-            }
-        )
+    if _fits_broadcast(opath, cpath, budget=broadcast_budget):
+        orders_t = pq.read_table(opath, columns=["o_orderkey", "o_custkey"])
+        cust_t = pq.read_table(cpath, columns=["c_custkey", "c_nationkey"])
+        # dense lookup arrays indexed by key (keys are small positive ints)
+        ok = np.asarray(orders_t["o_orderkey"], dtype=np.int64)
+        oc = np.asarray(orders_t["o_custkey"], dtype=np.int64)
+        order2cust = np.full(ok.max() + 1, -1, dtype=np.int64)
+        order2cust[ok] = oc
+        ck = np.asarray(cust_t["c_custkey"], dtype=np.int64)
+        cn = np.asarray(cust_t["c_nationkey"], dtype=np.int64)
+        cust2nat = np.full(ck.max() + 1, -1, dtype=np.int64)
+        cust2nat[ck] = cn
+        nk = np.asarray(nation_t["n_nationkey"], dtype=np.int64)
+        names = nation_t["n_name"].to_pylist()
+        nat_names = [""] * (int(nk.max()) + 1)
+        for k, nm in zip(nk, names):
+            nat_names[int(k)] = nm
+        ref = ray.put((order2cust, cust2nat, nat_names))
 
-    agg = (
-        li.map_batches(partial, batch_format="pyarrow")
-        .groupby("n_name")
-        .aggregate(Sum("prev", alias_name="revenue"))
-    )
+        def partial(t: pa.Table) -> pa.Table:
+            o2c, c2n, nn = _cached_get(ref)
+            okeys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            rev = (
+                t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+            )
+            nat = c2n[o2c[okeys]]  # inner-join semantics: -1 = missing
+            ok_mask = nat >= 0
+            sums = np.bincount(nat[ok_mask], weights=rev[ok_mask], minlength=len(nn))
+            hit = np.flatnonzero(sums != 0)
+            return pa.table(
+                {
+                    "n_name": pa.array([nn[i] for i in hit], pa.string()),
+                    "prev": pa.array(sums[hit], pa.float64()),
+                }
+            )
+
+        agg = (
+            li.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("prev", alias_name="revenue"))
+        )
+    else:
+        # distributed plan: shrink the fact first (per-order pre-aggregate),
+        # then two hash joins with an aggregate between them (the aggregate
+        # both shrinks the next join's input and heals block schemas)
+        def part_rev(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table({"l_orderkey": t["l_orderkey"], "prev": rev})
+
+        rev_by_order = (
+            li.map_batches(part_rev, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("prev", alias_name="prev"))
+        )
+        orders_ds = ray.data.read_parquet(opath, columns=["o_orderkey", "o_custkey"])
+        cust_ds = ray.data.read_parquet(cpath, columns=["c_custkey", "c_nationkey"])
+        rev_by_cust = (
+            rev_by_order.join(
+                orders_ds,
+                join_type="inner",
+                num_partitions=_join_partitions(),
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            .groupby("o_custkey")
+            .aggregate(Sum("prev", alias_name="prev"))
+        )
+        rev_by_nat = (
+            rev_by_cust.join(
+                cust_ds,
+                join_type="inner",
+                num_partitions=_join_partitions(),
+                on=("o_custkey",),
+                right_on=("c_custkey",),
+            )
+            .groupby("c_nationkey")
+            .aggregate(Sum("prev", alias_name="prev"))
+        )
+        nmap = dict(
+            zip(
+                (int(x) for x in nation_t["n_nationkey"].to_pylist()),
+                nation_t["n_name"].to_pylist(),
+            )
+        )
+        nref = ray.put(nmap)
+
+        def attach_name(t: pa.Table) -> pa.Table:
+            nn = _cached_get(nref)
+            keys = [int(k) for k in t["c_nationkey"].to_pylist()]
+            return pa.table(
+                {
+                    "n_name": pa.array([nn[k] for k in keys], pa.string()),
+                    "prev": t["prev"],
+                }
+            )
+
+        agg = (
+            rev_by_nat.map_batches(attach_name, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("prev", alias_name="revenue"))
+        )
     return agg.map_batches(
         lambda t: quantize(t, ["revenue"]), batch_format="pyarrow"
     ).sort("n_name")
@@ -288,7 +413,7 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
     )
 
     def to_brand(t: pa.Table) -> pa.Table:
-        bm = ray.get(ref)
+        bm = _cached_get(ref)
         keys = t["l_partkey"].to_pylist()
         brands = [bm.get(int(k)) for k in keys]
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -308,32 +433,75 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
 SESSION_GAP_S = 1800  # 30 min
 
 
+SESSION_PARTITIONS = 64
+
+
 def user_sessions(sf_dir: str) -> ray.data.Dataset:
     """Gap-based sessionization (streaming-shaped workload as a batch
-    window op): events partitioned by user, sorted by ts within the group,
-    a >30 min gap starts a new session.  Ordering assumption: per-user
-    event order is established INSIDE the group sort — no global order is
-    relied on (Ray block order is nondeterministic)."""
+    window op): a >30 min gap starts a new session.  Execution shape:
+    ONE hash-partition shuffle on ``user_id % P`` and a fully vectorized
+    within-partition pass — lexsort by (user, ts), numpy diff for session
+    boundaries, bincount for per-user/per-session sizes.  (A per-user Ray
+    ``groupby.map_groups`` is one Python call + one pandas conversion per
+    user — the many-tiny-groups landmine, VERDICT r1 #6.)  Ordering is
+    established inside the partition sort; no global order is relied on."""
     ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts_s = g["ts"].astype("int64") // 1_000_000
-        new_session = (ts_s.diff().isna()) | (ts_s.diff() > SESSION_GAP_S)
-        sess_id = new_session.cumsum()
-        sizes = sess_id.value_counts()
-        return pd.DataFrame(
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(SESSION_PARTITIONS - 1)), pa.int32()
+        )
+        return t.append_column("pkey", pk)
+
+    def sessions_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "max_session_events": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_s = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64
+        ) // 1_000_000
+        order = np.lexsort((ts_s, uid))
+        uid, ts_s = uid[order], ts_s[order]
+        n = len(uid)
+        user_start = np.ones(n, dtype=bool)
+        user_start[1:] = uid[1:] != uid[:-1]
+        new_session = user_start.copy()
+        new_session[1:] |= (ts_s[1:] - ts_s[:-1]) > SESSION_GAP_S
+        # per-user aggregates via run-length structure
+        starts = np.flatnonzero(user_start)
+        n_events = np.diff(np.append(starts, n))
+        sess_cum = np.cumsum(new_session)  # global session ids (1-based)
+        n_sessions = np.empty(len(starts), dtype=np.int64)
+        ends = np.append(starts[1:], n) - 1
+        n_sessions = sess_cum[ends] - sess_cum[starts] + 1
+        # per-session sizes -> per-user max: sessions are contiguous runs
+        sess_sizes = np.bincount(sess_cum - 1)
+        sess_user = np.repeat(np.arange(len(starts)), n_sessions)
+        max_per_user = np.zeros(len(starts), dtype=np.int64)
+        np.maximum.at(max_per_user, sess_user, sess_sizes)
+        return pa.table(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sess_id.max())],
-                "n_events": [len(g)],
-                "max_session_events": [int(sizes.max())],
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "max_session_events": pa.array(max_per_user, pa.int64()),
             }
         )
 
     return (
-        ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: sessions_partition(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
         .sort("user_id")
     )
 

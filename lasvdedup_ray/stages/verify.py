@@ -92,6 +92,112 @@ def _make_check_batch(sig_cfg: SignatureConfig, tau: float):
     return check_batch
 
 
+def attach_pair_contents(
+    pairs: ray.data.Dataset,
+    content: ray.data.Dataset,
+    *,
+    id_col: str = "id",
+    num_partitions: int = 32,
+    driver_cap: int = BORDER_DRIVER_CAP,
+) -> Optional[ray.data.Dataset]:
+    """Attach both endpoints' content to a pair dataset (id_a, id_b, ...).
+
+    Returns None when ``pairs`` is empty.  Below ``driver_cap`` pairs the
+    contents are attached on the driver (one broadcast filter pass,
+    bounded); above it, a fixed-size bloom bitmap over endpoint-id hashes
+    pre-filters ``content`` and two distributed hash joins attach it — the
+    same scale shape as the borderline exact-verify.  The content payload
+    column(s) come back with ``_a`` / ``_b`` suffixes."""
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n == 0:
+        return None
+    value_cols = [c for c in content.schema().names if c != id_col]
+    try:
+        num_partitions = max(
+            2, min(num_partitions, int(ray.cluster_resources().get("CPU", 8)))
+        )
+    except Exception:
+        pass
+
+    if n <= driver_cap:
+        pdf = pairs.to_pandas()
+        needed = set(pdf["id_a"]) | set(pdf["id_b"])
+        id_ref = ray.put(needed)
+
+        def grab(t: pa.Table) -> pa.Table:
+            want = ray.get(id_ref)
+            return t.filter(pa.array([i in want for i in t[id_col].to_pylist()]))
+
+        sub = content.map_batches(grab, batch_format="pyarrow").to_pandas()
+        maps = {c: dict(zip(sub[id_col], sub[c])) for c in value_cols}
+        cols = {c: pdf[c].to_numpy() for c in pdf.columns}
+        out = pa.table(
+            {
+                **{c: pa.array(cols[c]) for c in pdf.columns},
+                **{
+                    f"{c}_a": pa.array([maps[c][x] for x in pdf["id_a"]])
+                    for c in value_cols
+                },
+                **{
+                    f"{c}_b": pa.array([maps[c][x] for x in pdf["id_b"]])
+                    for c in value_cols
+                },
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    # bloom over endpoint-id hashes (bounded driver memory, no misses)
+    bits = 1 << min(
+        int(2 * n * _BLOOM_BITS_PER_KEY - 1).bit_length(),
+        _BLOOM_MAX_BITS.bit_length() - 1,
+    )
+    bmask = np.uint64(bits - 1)
+    bitmap = np.zeros(bits >> 6, dtype=np.uint64)
+    for b in pairs.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+        for col in ("id_a", "id_b"):
+            h = _id_hash64(b.column(col).to_pylist())
+            for probe in (h & bmask, splitmix64(h) & bmask):
+                np.bitwise_or.at(
+                    bitmap, probe >> np.uint64(6), np.uint64(1) << (probe & np.uint64(63))
+                )
+    bloom_ref = ray.put((bitmap, bmask))
+
+    def grab_bloom(t: pa.Table) -> pa.Table:
+        bm, mask = ray.get(bloom_ref)
+        h = _id_hash64(t[id_col].to_pylist())
+        ok = np.ones(len(h), dtype=bool)
+        for probe in (h & mask, splitmix64(h) & mask):
+            word = bm[probe >> np.uint64(6)]
+            ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
+        return t.filter(pa.array(ok))
+
+    sub_ds = content.map_batches(grab_bloom, batch_format="pyarrow").materialize()
+    # repartition between chained joins: Ray 2.49 builds zero-shard join
+    # partitions as 0-column tables otherwise
+    return (
+        pairs.join(
+            sub_ds,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_a",),
+            right_on=(id_col,),
+            left_suffix="_l1",
+            right_suffix="_a",
+        )
+        .repartition(num_partitions)
+        .join(
+            sub_ds,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_b",),
+            right_on=(id_col,),
+            left_suffix="_a",
+            right_suffix="_b",
+        )
+    )
+
+
 def verify_pairs(
     pairs: ray.data.Dataset,
     content_by_id: ray.data.Dataset,
@@ -201,6 +307,13 @@ def verify_pairs(
             word = bm[probe >> np.uint64(6)]
             ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
         return t.filter(pa.array(ok))
+
+    # Ray's hash-shuffle join spawns aggregator actors per partition and
+    # deadlocks when they exceed available CPUs (Ray 2.49 local mode)
+    try:
+        num_partitions = max(2, min(num_partitions, int(ray.cluster_resources().get("CPU", 8))))
+    except Exception:
+        pass
 
     sub_ds = content_by_id.map_batches(grab_bloom, batch_format="pyarrow").materialize()
     # both sides PRE-renamed so no map_batches sits between the joins (a

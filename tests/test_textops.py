@@ -1,0 +1,134 @@
+"""textops pipelines: df-capped n-gram Jaccard (skew-safe) and the
+size-gated pair-content attach used by common_span_pairs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from lasvdedup_ray.pipelines.textops import (
+    SHINGLE_K,
+    common_span_pairs,
+    ngram_jaccard_pairs,
+)
+from lasvdedup_ray.stages.verify import attach_pair_contents
+
+
+@pytest.fixture(scope="module")
+def doc_dir(tmp_path_factory):
+    """Synthetic documents: one shared boilerplate sentence across ALL docs
+    (a hot shingle set exceeding any small df cap), plus planted near-dup
+    pairs and unique tails."""
+    rng = np.random.default_rng(11)
+    boiler = "COMMON LICENSE HEADER ALL RIGHTS RESERVED FOREVER AND EVER. "
+
+    def body(seed):
+        r = np.random.default_rng(seed)
+        return " ".join(f"w{int(x):05d}" for x in r.integers(0, 10**6, 60))
+
+    texts, ids = [], []
+    for i in range(40):
+        texts.append(boiler + body(i))
+        ids.append(i)
+    # planted near-dup pair: same body, tiny suffix difference
+    shared = body(999)
+    texts.append(boiler + shared + " tail_one")
+    ids.append(100)
+    texts.append(boiler + shared + " tail_two")
+    ids.append(101)
+    d = tmp_path_factory.mktemp("ngramdocs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    return str(d)
+
+
+def test_ngram_df_cap_suppresses_boilerplate(doc_dir):
+    """With df_cap below the corpus size, the ubiquitous boilerplate
+    shingles are excluded: only the planted near-dup pair survives, and no
+    O(m^2) bucket is expanded (42 docs share the hot shingles; uncapped
+    that bucket alone is ~861 pairs)."""
+    out = ngram_jaccard_pairs(doc_dir, threshold=0.5, df_cap=8).to_pandas()
+    assert list(zip(out["id_a"], out["id_b"])) == [(100, 101)]
+
+
+def test_ngram_df_cap_oracle_parity(doc_dir):
+    """The capped pipeline must equal a brute-force pandas oracle applying
+    the identical df cutoff (the cap is part of the query semantics)."""
+    df_cap = 8
+    docs = pq.read_table(f"{doc_dir}/documents.parquet").to_pandas()
+    sets = {}
+    for did, txt in zip(docs["doc_id"], docs["text"]):
+        n = len(txt)
+        sh = {txt} if n < SHINGLE_K else {txt[i : i + SHINGLE_K] for i in range(n - SHINGLE_K + 1)}
+        sets[did] = sh
+    from collections import Counter
+
+    df_count = Counter(s for sh in sets.values() for s in sh)
+    kept = {d: {s for s in sh if df_count[s] <= df_cap} for d, sh in sets.items()}
+    expected = []
+    ids = sorted(kept)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(kept[a] & kept[b])
+            union = len(kept[a] | kept[b])
+            if union and inter / union >= 0.5:
+                expected.append((a, b, round(inter / union * 1e6)))
+    out = ngram_jaccard_pairs(doc_dir, threshold=0.5, df_cap=df_cap).to_pandas()
+    got = list(zip(out["id_a"], out["id_b"], out["jaccard_e6"]))
+    assert sorted(got) == sorted(expected)
+
+
+def test_common_span_pairs_runs(doc_dir):
+    out = common_span_pairs(doc_dir, threshold=0.5).to_pandas()
+    # the planted pair shares boiler + body(999): a long common span
+    assert set(zip(out["id_a"], out["id_b"])) == {(100, 101)}
+    assert int(out["lcs_len"].iloc[0]) >= 300
+
+
+def test_attach_pair_contents_paths_agree(doc_dir):
+    docs = ray.data.read_parquet(f"{doc_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([0, 1, 100], pa.int64()),
+                "id_b": pa.array([2, 3, 101], pa.int64()),
+            }
+        )
+    )
+    a = attach_pair_contents(pairs, docs, id_col="doc_id").to_pandas()
+    b = attach_pair_contents(pairs, docs, id_col="doc_id", driver_cap=0).to_pandas()
+    cols = ["id_a", "id_b", "text_a", "text_b"]
+    a = a[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = b[cols].sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_pigeonhole_guarantee(doc_dir):
+    """Every pair within max_hamming bits MUST be found: banding uses
+    max_hamming+1 slices (ADVICE r1 — 4 quadrants only guaranteed hd<=3).
+    Checked structurally: a 64-bit hash with max_hamming flipped bits,
+    one per slice boundary region, still shares a slice."""
+    import itertools
+
+    from lasvdedup_ray.pipelines import textops
+
+    max_h = 8
+    n_slices = min(max_h + 1, 64)
+    base_w, extra = divmod(64, n_slices)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_slices)]
+    assert sum(widths) == 64 and len(widths) == max_h + 1
+    # adversarial: flip one bit in max_h distinct slices -> one slice intact
+    shifts = [sum(widths[:i]) for i in range(n_slices)]
+    for flip_set in itertools.combinations(range(n_slices), max_h):
+        untouched = set(range(n_slices)) - set(flip_set)
+        assert untouched  # pigeonhole: at least one slice shared
