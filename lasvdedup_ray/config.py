@@ -158,6 +158,16 @@ class PipelineConfig:
     # reference's insertion-order min() — Ray block order is nondeterministic)
     selection_columns: Sequence[str] = ("n_lines",)
     checkpoint_dir: Optional[str] = None
+    # rank-table fuzzy-key resolution miss policy (reference: hard
+    # ValueError, sequence_grouping.py:78): "error" mirrors the reference,
+    # "rank_last" (default) leaves metadata null so misses sort last
+    rank_miss_policy: str = "rank_last"
+    # grouping-policy knob (reference SAMPLE_REGEX, config.yaml:26): when
+    # set, a regex whose first match over the id becomes an ADDITIONAL
+    # grouping key — rows whose extracted group key matches are clustered
+    # together even without LSH evidence (the reference groups per sample
+    # before any distance work)
+    group_regex: Optional[str] = None
 
     def thresholds_for(self, lang: Optional[str]) -> ClassThresholds:
         if lang is not None and lang in self.lang_thresholds:

@@ -77,7 +77,15 @@ def dedup_pipeline(
             f"(repo, path, commit, lang, content)"
         )
     ex = config.execution
-    ck = StageCheckpointer(config.checkpoint_dir)
+    # fingerprint = (input row count + columns, full config repr): a stage
+    # checkpoint from a different input/config is recomputed, never reused
+    n_rows_in = ds.count()
+    import hashlib as _hashlib
+
+    fp = _hashlib.sha256(
+        f"{n_rows_in}|{sorted(schema_names)}|{config!r}".encode()
+    ).hexdigest()[:16]
+    ck = StageCheckpointer(config.checkpoint_dir, fingerprint=fp)
     tau = candidate_tau(config)
     emit_tau = tau + (config.lsh.exact_margin if config.lsh.exact_verify else 0.0)
 
@@ -129,8 +137,7 @@ def dedup_pipeline(
         # Batch size adapts to input size: small enough that every CPU gets
         # tasks, large enough that driver scheduling (~ms per task) doesn't
         # serialize the run at scale.
-        n_rows = ds.count()
-        adaptive_bs = max(256, min(4096, n_rows // (num_partitions * 8) or 256))
+        adaptive_bs = max(256, min(4096, n_rows_in // (num_partitions * 8) or 256))
         signed = ck.pin(
             add_signatures(
                 prepare(ds, batch_size=adaptive_bs),
@@ -161,12 +168,25 @@ def dedup_pipeline(
 
     if rank_table is not None:
         # metadata/ranking side table (reference: contigs TSV joined per
-        # sequence) — left-join so corpus rows without metadata still flow
-        meta = meta.join(
+        # sequence) with the reference's 3-stage fuzzy key resolution
+        # (exact -> _R_-strip + dot-split -> dot-boundary prefix) and a
+        # configurable miss policy (sequence_grouping.py:55-78)
+        from ..stages.ranktab import attach_rank_table
+
+        meta = attach_rank_table(
+            meta,
             rank_table,
-            join_type="left_outer",
+            miss_policy=config.rank_miss_policy,
             num_partitions=num_partitions,
-            on=("id",),
+        )
+
+    if config.group_regex:
+        # grouping-policy knob (reference SAMPLE_REGEX, config.yaml:26):
+        # rows sharing an extracted group key are pre-linked with
+        # zero-distance edges, so each "sample" clusters together before
+        # any LSH evidence — the reference groups per sample up front
+        edges = edges.union(
+            group_key_edges(meta.select_columns(["id"]), config.group_regex)
         )
 
     if edges_out is not None:
@@ -182,6 +202,62 @@ def dedup_pipeline(
         force_distributed=force_distributed_components,
     )
     return classify_clusters(clustered, config)
+
+
+GROUP_KEY_PARTITIONS = 64
+
+
+def group_key_edges(ids_ds: ray.data.Dataset, pattern: str) -> ray.data.Dataset:
+    """Star-topology zero-distance edges linking all ids that share a
+    regex-extracted group key (the reference's per-sample grouping,
+    ``sequence_grouping.py:29-37``).  One hash-partition shuffle on the
+    key; within-partition star emission is vectorized (min id per key ->
+    every other member)."""
+    import zlib
+
+    import numpy as np
+
+    from ..functions.text import extract_group_key
+    from ..stages.lsh import PAIR_SCHEMA
+
+    def keyed(t: pa.Table) -> pa.Table:
+        keys = extract_group_key(t["id"], pattern)
+        out = pa.table({"id": t["id"], "gkey": keys}).filter(pc.is_valid(keys))
+        pk = np.fromiter(
+            (zlib.crc32(k.encode()) % GROUP_KEY_PARTITIONS for k in out["gkey"].to_pylist()),
+            dtype=np.int32,
+            count=out.num_rows,
+        )
+        return out.append_column("pkey", pa.array(pk, pa.int32()))
+
+    def star_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "gkey" not in g.column_names:
+            return PAIR_SCHEMA.empty_table()
+        keys = np.asarray(g["gkey"].to_pylist(), dtype=object)
+        ids = np.asarray(g["id"].to_pylist(), dtype=object)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        first = np.ones(len(keys), dtype=bool)
+        first[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(first)
+        sizes = np.diff(np.append(starts, len(keys)))
+        hub = np.repeat(ids[starts], sizes)  # min id per key (sorted)
+        other = ids
+        keep = hub != other
+        return pa.table(
+            {
+                "id_a": pa.array(hub[keep], pa.string()),
+                "id_b": pa.array(other[keep], pa.string()),
+                "est_distance": pa.array(np.zeros(int(keep.sum())), pa.float64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+    return (
+        ids_ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(star_edges, batch_format="pyarrow")
+    )
 
 
 def attach_content(

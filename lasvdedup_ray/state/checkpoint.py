@@ -22,8 +22,16 @@ import ray.data
 
 
 class StageCheckpointer:
-    def __init__(self, checkpoint_dir: Optional[str] = None):
+    def __init__(
+        self, checkpoint_dir: Optional[str] = None, fingerprint: Optional[str] = None
+    ):
+        """``fingerprint`` identifies the (input, config) pair: a stage
+        pinned under a different fingerprint is RECOMPUTED, not reused
+        (ADVICE r1: name-only keys silently served stale stages after the
+        input or thresholds changed — Snakemake, the stated model,
+        invalidates on input change)."""
         self.dir = checkpoint_dir
+        self.fp = fingerprint
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
         self._manifest_path = os.path.join(self.dir, "manifest.json") if self.dir else None
@@ -36,14 +44,28 @@ class StageCheckpointer:
 
     def _mark_done(self, name: str) -> None:
         m = self._manifest()
-        m[name] = {"done": True}
+        m[name] = {"done": True, "fingerprint": self.fp}
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic
 
     def is_done(self, name: str) -> bool:
-        return bool(self._manifest().get(name, {}).get("done"))
+        entry = self._manifest().get(name, {})
+        if not entry.get("done"):
+            return False
+        if self.fp is not None and entry.get("fingerprint") != self.fp:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint stage %r was pinned under fingerprint %s but the "
+                "current run is %s (input or config changed): recomputing",
+                name,
+                entry.get("fingerprint"),
+                self.fp,
+            )
+            return False
+        return True
 
     def pin(self, ds: ray.data.Dataset, name: str) -> ray.data.Dataset:
         """Execute a stage once and make its result re-readable.

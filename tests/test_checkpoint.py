@@ -54,3 +54,34 @@ def test_pipeline_resume_identical(tmp_path):
         assert (a[col] == b[col]).all(), col
     manifest = json.load(open(tmp_path / "ckpt" / "manifest.json"))
     assert manifest.get("signed", {}).get("done")
+
+
+def test_fingerprint_invalidates_on_change(tmp_path):
+    """ADVICE r1: a checkpoint pinned under a different (input, config)
+    fingerprint must be recomputed, not silently reused."""
+    t1 = pa.table({"x": [1, 2, 3]})
+    ck1 = StageCheckpointer(str(tmp_path), fingerprint="aaa")
+    out1 = ck1.pin(ray.data.from_arrow(t1), "stage").to_pandas()
+    assert sorted(out1["x"]) == [1, 2, 3]
+    # same fingerprint -> reuse (different data ignored)
+    out2 = StageCheckpointer(str(tmp_path), fingerprint="aaa").pin(
+        ray.data.from_arrow(pa.table({"x": [9]})), "stage"
+    ).to_pandas()
+    assert sorted(out2["x"]) == [1, 2, 3]
+    # different fingerprint -> recompute
+    out3 = StageCheckpointer(str(tmp_path), fingerprint="bbb").pin(
+        ray.data.from_arrow(pa.table({"x": [7, 8]})), "stage"
+    ).to_pandas()
+    assert sorted(out3["x"]) == [7, 8]
+
+
+def test_pipeline_fingerprint_recomputes_on_new_input(tmp_path):
+    """Reusing a checkpoint_dir with different input data must yield the
+    NEW input's results (round-1 bug: stale 'signed' parquet returned)."""
+    corpus1, _ = generate_corpus(CorpusSpec(n_files=60, seed=1))
+    corpus2, _ = generate_corpus(CorpusSpec(n_files=80, seed=2))
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ck"))
+    a = dedup_pipeline(ray.data.from_arrow(corpus1), cfg, num_partitions=4).count()
+    b = dedup_pipeline(ray.data.from_arrow(corpus2), cfg, num_partitions=4).count()
+    assert a == corpus1.num_rows
+    assert b == corpus2.num_rows  # not the stale corpus1 stages
