@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lasvdedup_ray.pipelines import ann, docdedup, relational, textops
+    from lasvdedup_ray.pipelines import ann, docdedup, media, relational, textops
 
     return {
         # relational operator coverage
@@ -55,6 +55,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk": ann.embedding_topk,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        # multimodal plumbing (deterministic synthetic media corpus;
+        # rows-only — binary feature extraction is not SQL-expressible)
+        "media_features": media.media_features,
+        "media_frame_stats": media.media_frame_stats,
     }
 
 

@@ -50,6 +50,19 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--edges-out",
                         help="also write the verified edge list parquet (replaces "
                              "the reference's dense .mldist matrix sink)")
+        sp.add_argument("--write-annotations", action="store_true",
+                        help="also write the slim 4-column annotation TSV "
+                             "(reference FigTree sink, io_utils.py:160-169)")
+        sp.add_argument("--group-regex",
+                        help="regex grouping key over row ids (reference "
+                             "SAMPLE_REGEX, config.yaml:26)")
+        sp.add_argument("--rank-miss-policy", choices=["rank_last", "error"],
+                        help="rank-table fuzzy-lookup miss policy "
+                             "(reference: hard error)")
+        sp.add_argument("--log-file",
+                        help="per-run log file (reference setup_logging, "
+                             "determine_duplicates.py:22-50)")
+        sp.add_argument("--log-level", default="INFO")
 
     add_common(sub.add_parser("run", help="full pipeline: read -> dedup -> write"))
     add_common(sub.add_parser("deduplicate", help="alias of run (analytical core)"))
@@ -79,6 +92,10 @@ def _overrides_from_args(args: argparse.Namespace) -> Dict[str, Any]:
         ov["checkpoint_dir"] = args.checkpoint_dir
     if args.selection_columns:
         ov["selection_columns"] = [c for c in args.selection_columns.split(",") if c]
+    if getattr(args, "group_regex", None):
+        ov["group_regex"] = args.group_regex
+    if getattr(args, "rank_miss_policy", None):
+        ov["rank_miss_policy"] = args.rank_miss_policy
     return ov
 
 
@@ -108,7 +125,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from .pipelines.dedup import dedup_pipeline, write_results
-    from .sources.io import write_conformance_tsv, write_run_metrics
+    from .sources.io import (
+        setup_logging,
+        write_annotation_tsv,
+        write_conformance_tsv,
+        write_run_metrics,
+    )
+
+    setup_logging(args.log_level, args.log_file)
 
     ds = ray.data.read_parquet(args.input)
     rank_table = None
@@ -132,6 +156,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     }
     if args.write_tsv:
         summary["tsv"] = write_conformance_tsv(results, args.output)
+    if args.write_annotations:
+        summary["annotations"] = write_annotation_tsv(results, args.output)
     if args.metrics:
         summary["metrics"] = write_run_metrics(ds, results, cfg, args.output)
     print(json.dumps(summary))

@@ -30,7 +30,57 @@ TSV_COLUMNS = [
     "is_representative",
     "group_members",
     "reason",
+    "stats",
 ]
+
+# slim 4-column annotation projection — the reference's FigTree annotation
+# writer (io_utils.py:160-169; format classification.py:105-123): name,
+# classification, category, sample(=cluster) per record, sorted by name
+ANNOTATION_COLUMNS = ["id", "classification", "decision_category", "cluster_id"]
+
+
+def write_annotation_tsv(results: ray.data.Dataset, out_dir: str) -> str:
+    """4-column annotation TSV (the reference's FigTree sink analog)."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "annotations.tsv")
+    rows = []
+    for batch in results.select_columns(ANNOTATION_COLUMNS).sort("id").iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        cols = [batch[c].to_pylist() for c in ANNOTATION_COLUMNS]
+        rows.extend("\t".join(str(v) for v in rec) for rec in zip(*cols))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write("\t".join(ANNOTATION_COLUMNS) + "\n")
+        f.write("\n".join(rows) + ("\n" if rows else ""))
+    os.replace(tmp, path)  # atomic
+    return path
+
+
+def setup_logging(level: str = "INFO", filepath: Optional[str] = None) -> None:
+    """Per-run log-sink configuration — the reference's ``setup_logging``
+    (determine_duplicates.py:22-50): package logger level + optional
+    per-run file handler (idempotent: an existing handler for the same
+    file is not duplicated)."""
+    import logging
+
+    logger = logging.getLogger("lasvdedup_ray")
+    logger.setLevel(getattr(logging, level.upper(), logging.INFO))
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(name)s: %(message)s")
+    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+        sh = logging.StreamHandler()
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+    if filepath:
+        filepath = os.path.abspath(filepath)
+        if not any(
+            isinstance(h, logging.FileHandler)
+            and getattr(h, "baseFilename", None) == filepath
+            for h in logger.handlers
+        ):
+            fh = logging.FileHandler(filepath)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
 
 
 def write_conformance_tsv(results: ray.data.Dataset, out_dir: str) -> str:

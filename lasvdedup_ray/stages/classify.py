@@ -50,8 +50,23 @@ RESULT_FIELDS = [
     ("reason", pa.string()),
     ("sha256", pa.binary()),
     ("lang", pa.string()),
+    # per-record stats payload (reference contig_stats dict-of-float,
+    # classification.py:34, serialized at :97) — JSON string column
+    ("stats", pa.string()),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
+
+
+def stats_json(n_chars: np.ndarray, n_lines: np.ndarray, targets: np.ndarray):
+    """Vectorized-enough JSON stats payload per record."""
+    ld = np.abs(n_chars.astype(np.int64) - targets)
+    return pa.array(
+        [
+            '{"n_chars": %d, "n_lines": %d, "len_distance": %d}' % (c, l, d)
+            for c, l, d in zip(n_chars, n_lines, ld)
+        ],
+        pa.string(),
+    )
 
 KEEP, DUPLICATE, DISTINCT = "keep", "duplicate", "distinct"
 # decision categories — same five names as the reference enum
@@ -107,6 +122,7 @@ def make_cluster_classifier(config: PipelineConfig):
         langs = g.column("lang").to_pylist()
         sha = g.column("sha256").to_pylist()
         n_chars = g.column("n_chars").to_numpy(zero_copy_only=False)
+        n_lines = g.column("n_lines").to_numpy(zero_copy_only=False)
 
         # thresholds by majority lang of the cluster (reference: per-segment)
         lang_mode = max(set(langs), key=langs.count) if langs else None
@@ -140,6 +156,9 @@ def make_cluster_classifier(config: PipelineConfig):
                     "reason": pa.array(reasons, pa.string()),
                     "sha256": pa.array(sha, pa.binary()),
                     "lang": pa.array(langs, pa.string()),
+                    "stats": stats_json(
+                        n_chars, n_lines, np.full(m, th.target_length, np.int64)
+                    ),
                 },
                 schema=RESULT_SCHEMA,
             )
@@ -288,6 +307,12 @@ def make_partition_classifier(config: PipelineConfig):
             members = pa.ListArray.from_arrays(
                 pa.array(np.arange(n1 + 1, dtype=np.int32)), ids_arr
             )
+            s_langs = s.column("lang").to_pylist()
+            targets = np.fromiter(
+                (config.thresholds_for(lg).target_length for lg in s_langs),
+                dtype=np.int64,
+                count=n1,
+            )
             outputs.append(
                 pa.table(
                     {
@@ -301,6 +326,11 @@ def make_partition_classifier(config: PipelineConfig):
                         "reason": pa.array(["Single sequence in cluster"] * n1, pa.string()),
                         "sha256": pc.cast(s.column("sha256"), pa.binary()),
                         "lang": pc.cast(s.column("lang"), pa.string()),
+                        "stats": stats_json(
+                            s.column("n_chars").to_numpy(zero_copy_only=False),
+                            s.column("n_lines").to_numpy(zero_copy_only=False),
+                            targets,
+                        ),
                     },
                     schema=RESULT_SCHEMA,
                 )

@@ -86,3 +86,47 @@ def test_cli_end_to_end(tmp_path):
     metrics = json.load(open(summary["metrics"]))
     assert metrics["output_rows"] == summary["rows"]
     assert "classification_counts" in metrics
+
+
+def test_annotation_tsv_and_stats_payload(tmp_path, corpus_tables):
+    """Slim 4-col annotation sink (reference FigTree writer analog) + the
+    per-record stats JSON payload (reference contig_stats)."""
+    import json as _json
+
+    from lasvdedup_ray.config import PipelineConfig
+    from lasvdedup_ray.pipelines.dedup import dedup_pipeline
+    from lasvdedup_ray.sources.io import ANNOTATION_COLUMNS, write_annotation_tsv
+
+    corpus, _ = corpus_tables
+    res = dedup_pipeline(
+        ray.data.from_arrow(corpus.slice(0, 80)), PipelineConfig(), num_partitions=4
+    ).materialize()
+    # stats column: valid JSON with the reference contig_stats analog keys
+    row = res.take(1)[0]
+    st = _json.loads(row["stats"])
+    assert set(st) == {"n_chars", "n_lines", "len_distance"}
+    assert st["len_distance"] == abs(st["n_chars"] - 4000)
+    path = write_annotation_tsv(res, str(tmp_path))
+    lines = open(path).read().splitlines()
+    assert lines[0] == "\t".join(ANNOTATION_COLUMNS)
+    assert len(lines) == res.count() + 1
+    # sorted by id, 4 columns each
+    ids = [ln.split("\t")[0] for ln in lines[1:]]
+    assert ids == sorted(ids)
+    assert all(len(ln.split("\t")) == 4 for ln in lines[1:])
+
+
+def test_setup_logging_file_sink(tmp_path):
+    import logging
+
+    from lasvdedup_ray.sources.io import setup_logging
+
+    log_path = str(tmp_path / "run.log")
+    setup_logging("DEBUG", log_path)
+    setup_logging("DEBUG", log_path)  # idempotent: no duplicate handler
+    logger = logging.getLogger("lasvdedup_ray.test_sink")
+    logger.debug("hello-from-test")
+    for h in logging.getLogger("lasvdedup_ray").handlers:
+        h.flush()
+    content = open(log_path).read()
+    assert content.count("hello-from-test") == 1

@@ -60,3 +60,55 @@ def test_frame_sample_plumbing():
     payloads = dict(zip(t["item_id"].to_pylist(), t["payload"].to_pylist()))
     row = out.iloc[0]
     assert bytes(row["frame_bytes"]) in payloads[row["item_id"]]
+
+
+def test_media_features_query_oracle():
+    """media_features pytest oracle: recompute entropy/sha/simhash for a
+    few items directly from the deterministic corpus."""
+    import hashlib
+
+    import numpy as np
+
+    from lasvdedup_ray.pipelines.media import (
+        MEDIA_N,
+        MEDIA_SEED,
+        _hyperplanes,
+        feature_simhash,
+        media_features,
+    )
+    from lasvdedup_ray.stages.multimodal import FEATURE_DIM, synthetic_media_table
+
+    out = media_features("unused").to_pandas()
+    assert len(out) == MEDIA_N
+    assert list(out["item_id"]) == list(range(MEDIA_N))
+    src = synthetic_media_table(n=MEDIA_N, seed=MEDIA_SEED)
+    planes = _hyperplanes()
+    for i in (0, 7, MEDIA_N - 1):
+        payload = src["payload"][i].as_py()
+        row = out[out["item_id"] == i].iloc[0]
+        assert row["n_bytes"] == len(payload)
+        assert row["sha8_hex"] == hashlib.sha256(payload).digest()[:8].hex()
+        b = np.frombuffer(payload, dtype=np.uint8)
+        h = np.bincount(b >> 2, minlength=FEATURE_DIM).astype(np.float64)
+        h /= h.sum()
+        nz = h[h > 0]
+        ent = float(-(nz * np.log2(nz)).sum())
+        assert row["byte_entropy_e6"] == round(round(ent, 6) * 1e6)
+        assert row["feature_simhash"] == int(
+            feature_simhash(h[None, :], planes)[0].astype(np.int64)
+        )
+
+
+def test_media_frame_stats_query():
+    from lasvdedup_ray.pipelines.media import MEDIA_N, MEDIA_SEED, media_frame_stats
+    from lasvdedup_ray.stages.multimodal import synthetic_media_table
+
+    out = media_frame_stats("unused").to_pandas()
+    src = synthetic_media_table(n=MEDIA_N, seed=MEDIA_SEED).to_pandas()
+    vids = src[src["media_type"] == "video"]
+    assert set(out["item_id"]) == set(vids["item_id"])
+    for _, v in vids.iterrows():
+        row = out[out["item_id"] == v["item_id"]].iloc[0]
+        expect_frames = max(1, int(v["duration_ms"]) // 1000)
+        assert row["n_frames"] == expect_frames
+        assert row["total_bytes"] == len(v["payload"])  # slices partition payload
