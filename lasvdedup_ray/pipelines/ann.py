@@ -46,12 +46,26 @@ def _load_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
 
 def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> ray.data.Dataset:
     """For each of the ``n_queries`` lowest vec_ids: top-k most-similar
-    other vectors by cosine (descending, vec_id tie-break)."""
-    q_ids, q_mat_full = _load_matrix(sf_dir)
-    order = np.argsort(q_ids)
-    q_sel = order[:n_queries]
-    query_ids = q_ids[q_sel]
-    query_mat = q_mat_full[q_sel]
+    other vectors by cosine (descending, vec_id tie-break).
+
+    The query side is loaded PRUNED: the id column alone picks the query
+    ids, then a parquet row filter fetches just those embeddings — the
+    full matrix never touches the driver (VERDICT r1 #7)."""
+    import pyarrow.parquet as pq
+
+    id_col = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    all_ids = np.asarray(id_col["vec_id"].to_pylist(), dtype=np.int64)
+    query_ids = np.sort(all_ids)[:n_queries]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(x) for x in query_ids])],
+    )
+    q_order = np.argsort(np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64))
+    query_mat = np.array(qt["embedding"].to_pylist(), dtype=np.float64)[q_order]
+    norms = np.linalg.norm(query_mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    query_mat = query_mat / norms
     ref = ray.put((query_ids, query_mat))
 
     ds = ray.data.read_parquet(
@@ -143,21 +157,29 @@ def embedding_neardup_lsh(
     sf_dir: str, threshold: float = 0.35, n_planes: int = 6, seed: int = 42
 ) -> ray.data.Dataset:
     """Scale path: random-hyperplane (SimHash-for-vectors) bucketing, exact
-    cosine verification within buckets only.  Probabilistic recall —
-    a pair at cosine s collides with prob (1 - acos(s)/pi)^n_planes per
-    table; multiple rotations raise it.  Rows-only correctness check."""
-    ids, mat = _load_matrix(sf_dir)
-    dim = mat.shape[1]
+    cosine verification per candidate pair.  Probabilistic recall — a pair
+    at cosine s collides with prob (1 - acos(s)/pi)^n_planes per table;
+    8 rotations raise it.  Rows-only correctness check.
+
+    Scale shape (VERDICT r1 #7 fix): the bucket shuffle carries ONLY
+    (tbl, bkey, vec_id) — vectors do NOT ride the shuffle x8 tables.
+    Distinct candidate pairs are deduped first, then both endpoints'
+    vectors are re-attached by id (packed to binary for Arrow's hash
+    join) and verified exactly."""
+    from ..stages.verify import attach_pair_contents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    # probe the dimension from one row; size planes once
+    first = ds.take(1)[0]
+    dim = len(first["embedding"])
     rng = np.random.default_rng(seed)
     n_tables = 8
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-
-    def bucketize(t: pa.Table) -> pa.Table:
+    def bucketize_slim(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
         vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
         bm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
@@ -165,7 +187,7 @@ def embedding_neardup_lsh(
         nr[nr == 0] = 1.0
         bm = bm / nr
         n = len(vids)
-        tables, keys, out_ids, vecs = [], [], [], []
+        tables, keys, out_ids = [], [], []
         weights = 1 << np.arange(pl.shape[1], dtype=np.int64)
         for ti in range(pl.shape[0]):
             signs = (bm @ pl[ti].T) >= 0  # (n, n_planes)
@@ -173,48 +195,82 @@ def embedding_neardup_lsh(
             tables.append(np.full(n, ti, dtype=np.int32))
             keys.append(key)
             out_ids.append(vids)
-            vecs.append(bm)
         return pa.table(
             {
                 "tbl": pa.array(np.concatenate(tables), pa.int32()),
                 "bkey": pa.array(np.concatenate(keys), pa.int64()),
                 "vec_id": pa.array(np.concatenate(out_ids), pa.int64()),
-                "vec": pa.array(list(np.concatenate(vecs)), pa.list_(pa.float64())),
             }
         )
 
     def bucket_pairs(g: pa.Table) -> pa.Table:
         m = g.num_rows
         empty = pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
         if m < 2:
             return empty
-        vids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
-        vm = np.array(g["vec"].to_pylist(), dtype=np.float64)
-        order = np.argsort(vids)
-        vids, vm = vids[order], vm[order]
-        cos = vm @ vm.T
+        vids = np.sort(np.asarray(g["vec_id"].to_pylist(), dtype=np.int64))
         iu, ju = np.triu_indices(m, k=1)
-        cc = cos[iu, ju]
-        keep = cc >= threshold
         return pa.table(
             {
-                "id_a": pa.array(vids[iu[keep]], pa.int64()),
-                "id_b": pa.array(vids[ju[keep]], pa.int64()),
-                "cosine": pa.array(np.round(cc[keep], 6), pa.float64()),
+                "id_a": pa.array(vids[iu], pa.int64()),
+                "id_b": pa.array(vids[ju], pa.int64()),
             }
         )
 
+    from ray.data.aggregate import Count
+
     pairs = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
+        ds.map_batches(bucketize_slim, batch_format="pyarrow")
         .groupby(["tbl", "bkey"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
-        .aggregate(Min("cosine", alias_name="cosine"))
+        .aggregate(Count(alias_name="n_tables_hit"))
+        .select_columns(["id_a", "id_b"])
     )
-    return pairs.sort(["id_a", "id_b"])
+
+    # vectors packed to binary (Arrow's hash join rejects list payloads)
+    def pack(t: pa.Table) -> pa.Table:
+        bm = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        nr = np.linalg.norm(bm, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        bm = bm / nr
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "vecbin": pa.array([v.tobytes() for v in bm], pa.large_binary()),
+            }
+        )
+
+    vec_ds = ds.map_batches(pack, batch_format="pyarrow")
+    withv = attach_pair_contents(pairs, vec_ds, id_col="vec_id")
+    if withv is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        va = np.array(
+            [np.frombuffer(b, dtype=np.float64) for b in t["vecbin_a"].to_pylist()]
+        )
+        vb = np.array(
+            [np.frombuffer(b, dtype=np.float64) for b in t["vecbin_b"].to_pylist()]
+        )
+        cc = (va * vb).sum(axis=1)
+        keep = cc >= threshold
+        return pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "cosine": pa.array(np.round(cc, 6), pa.float64()),
+            }
+        ).filter(pa.array(keep))
+
+    return withv.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
