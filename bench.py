@@ -147,6 +147,103 @@ def run_bench() -> dict:
     return result
 
 
+def run_stages() -> dict:
+    """Stage-level wall-time split of the flagship at $RAY_GRAFT_CPUS —
+    the scaling-efficiency evidence: compute stages (sign) should scale
+    near-linearly with CPUs, the all-to-all exchanges (candidates,
+    classify) are bounded by single-box memory bandwidth at every CPU
+    count.  Prints one JSON line."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as _pa
+
+    from lasvdedup_ray.config import PipelineConfig
+    from lasvdedup_ray.pipelines.dedup import SLIM_COLS, candidate_tau
+    from lasvdedup_ray.stages.classify import classify_clusters
+    from lasvdedup_ray.stages.lsh import candidate_pairs
+    from lasvdedup_ray.stages.prepare import prepare
+    from lasvdedup_ray.stages.signatures import add_signatures
+    from lasvdedup_ray.stages.verify import verify_pairs
+    from lasvdedup_ray.state.unionfind import assign_clusters
+
+    sf = sf_from_dir(SF_DIR)
+    n_files = int(
+        os.environ.get("GRAFT_BENCH_FILES", max(2000, int(FILES_PER_SF * sf)))
+    )
+    corpus_dir = ensure_corpus(n_files)
+    corpus_paths = [
+        os.path.join(corpus_dir, f)
+        for f in sorted(os.listdir(corpus_dir))
+        if f.startswith("part-")
+    ]
+
+    def _touch(t):
+        return _pa.table({"n": _pa.array([t.num_rows])})
+
+    rd.read_parquet(corpus_paths).map_batches(_touch, batch_format="pyarrow").count()
+
+    cfg = PipelineConfig()
+    tau = candidate_tau(cfg)
+    emit_tau = tau + cfg.lsh.exact_margin
+    stages = {}
+
+    t0 = time.time()
+    signed = add_signatures(
+        prepare(rd.read_parquet(corpus_paths), batch_size=2048),
+        cfg=cfg.signature,
+        batch_size=2048,
+        concurrency=cfg.execution.signer_concurrency,
+    ).materialize()
+    stages["sign"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    edges = verify_pairs(
+        candidate_pairs(
+            signed.select_columns(["id", "minhash", "simhash"]),
+            cfg.signature,
+            cfg.lsh,
+            tau=emit_tau,
+        ),
+        signed.select_columns(["id", "content"]),
+        cfg.signature,
+        cfg.lsh,
+        tau=tau,
+        num_partitions=max(8, NUM_CPUS),
+    ).materialize()
+    stages["candidates_verify"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
+    clustered = assign_clusters(
+        meta, edges, num_partitions=max(8, NUM_CPUS)
+    )
+    n_out = classify_clusters(clustered, cfg).count()
+    stages["cluster_classify"] = round(time.time() - t0, 3)
+    assert n_out == n_files
+
+    result = {
+        "metric": "flagship stage split",
+        "value": round(sum(stages.values()), 3),
+        "unit": "sec",
+        "stages": stages,
+        "num_cpus": NUM_CPUS,
+        "corpus_files": n_files,
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling() -> dict:
     # scaling evidence needs a compute-dominated input: the fixed per-stage
     # scheduling latency (~5-10 s regardless of CPU count) would swamp the
@@ -172,10 +269,17 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # this box has very high run-to-run variance (measured up to 3x on an
+    # identical in-session job): take the MIN over repeats per level — the
+    # unbiased estimator of the machine's actual capability under
+    # one-sided system noise
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     lo_cpus, hi_cpus = 8, 32
     run(lo_cpus if scaling_files <= 50_000 else hi_cpus)  # untimed warm-up: build the corpus cache
-    r_lo = run(lo_cpus)
-    r_hi = run(hi_cpus)
+    runs_lo = [run(lo_cpus) for _ in range(repeats)]
+    runs_hi = [run(hi_cpus) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
     return {
@@ -184,6 +288,8 @@ def run_scaling() -> dict:
         "unit": "efficiency",
         "sec_8": t_lo,
         "sec_32": t_hi,
+        "sec_8_all": [r["value"] for r in runs_lo],
+        "sec_32_all": [r["value"] for r in runs_hi],
         "files_per_sec_8": r_lo["files_per_sec"],
         "files_per_sec_32": r_hi["files_per_sec"],
         "queries_8": r_lo["queries"],
@@ -196,5 +302,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stages" in sys.argv:
+        print(json.dumps(run_stages()))
     else:
         print(json.dumps(run_bench()))

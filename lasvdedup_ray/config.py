@@ -103,6 +103,14 @@ class LSHConfig:
     hot_exact_cap: int = 4_000_000
     bloom_bits_per_key: int = 16
     bloom_max_bits: int = 1 << 31  # 256 MiB bitmap ceiling
+    # While the corpus' signature table fits this row budget (~256 B
+    # sig16 + id per row -> ~1 GiB at the cap), signatures are BROADCAST
+    # as one hash-indexed blob (ray.put once, zero-copy plasma reads, one
+    # copy per node) and band rows shrink to ~40 B (band, bh, id-hash,
+    # simhash, cmask) — a ~9x band-shuffle byte cut.  Beyond the cap,
+    # signatures ride inline in the band rows (no single-node structure
+    # scales to 10^12 rows).
+    sig_broadcast_cap: int = 3_000_000
     # pairs with est_distance in (tau - exact_margin_low, tau +
     # exact_margin_high] get an exact-Jaccard re-check: removes MinHash
     # estimator noise at the inclusive <= boundary the reference pins

@@ -131,9 +131,14 @@ def dedup_pipeline(
             on=("sha_hex",),
         )
     else:
-        # default: sign every row (OPH signing is O(shingles), cheaper than
-        # the extra exact-dedup groupby + sha join; identical content yields
-        # identical signatures, so exact dups cluster through LSH at d=0).
+        # default: sign every row (OPH signing is O(shingles); identical
+        # content yields identical signatures), then collapse exact dups at
+        # the SLIM level before banding: one slim shuffle on sha (ids +
+        # signatures, no content) keeps one representative per distinct
+        # content in the LSH stage and links members by zero-distance star
+        # edges.  On dup-heavy corpora (2/3 exact dups measured on the
+        # bench corpus) this cuts the band shuffle ~3x and the in-bucket
+        # pair verification ~9x — the single biggest scaling lever.
         # Batch size adapts to input size: small enough that every CPU gets
         # tasks, large enough that driver scheduling (~ms per task) doesn't
         # serialize the run at scale.
@@ -152,9 +157,16 @@ def dedup_pipeline(
 
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
         meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
-        edges = verify_pairs(
+        reps_slim = ck.pin(
+            exact_representatives(
+                signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+            ),
+            "reps",
+        )
+        e_edges = exact_dup_edges(signed.select_columns(["sha_hex", "id"]))
+        near_edges = verify_pairs(
             candidate_pairs(
-                signed.select_columns(["id", "minhash", "simhash"]),
+                reps_slim.select_columns(["id", "minhash", "simhash"]),
                 config.signature,
                 config.lsh,
                 tau=emit_tau,
@@ -165,6 +177,7 @@ def dedup_pipeline(
             tau=tau,
             num_partitions=num_partitions,
         )
+        edges = near_edges.union(e_edges)
 
     if rank_table is not None:
         # metadata/ranking side table (reference: contigs TSV joined per

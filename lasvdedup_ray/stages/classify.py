@@ -354,11 +354,19 @@ def classify_clusters(
     import zlib
 
     config = config or PipelineConfig()
+    # ~4 partitions per CPU so a partition holding a mega-cluster doesn't
+    # become the straggler of a single wave
+    try:
+        import ray as _ray
+
+        n_parts = max(CLASSIFY_PARTITIONS, 4 * int(_ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        n_parts = CLASSIFY_PARTITIONS
 
     def add_pkey(t: pa.Table) -> pa.Table:
         keys = t["cluster_id"].to_pylist()
         pk = np.fromiter(
-            (zlib.crc32(k.encode()) % CLASSIFY_PARTITIONS for k in keys),
+            (zlib.crc32(k.encode()) % n_parts for k in keys),
             dtype=np.int32,
             count=len(keys),
         )

@@ -32,8 +32,17 @@ from ..config import LSHConfig, SignatureConfig
 from ..functions.hashing import band_hashes
 from .signatures import sigs_to_matrix
 
-# worker-process-level cache for the broadcast hot-bucket key array
+# worker-process-level caches for broadcast side data (hot-bucket keys and
+# the hash-indexed signature store) — ray.get once per worker, not per batch
 _WORKER_HOT_CACHE: dict = {}
+_WORKER_SIG_CACHE: dict = {}
+
+
+def _cluster_cpus(default: int = 8) -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:
+        return default
 
 PAIR_SCHEMA = pa.schema(
     [("id_a", pa.string()), ("id_b", pa.string()), ("est_distance", pa.float64())]
@@ -119,7 +128,12 @@ def _pairs_table(ids_a, ids_b, dists) -> pa.Table:
     )
 
 
-def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, tau: float):
+def make_partition_pair_emitter(
+    sig_cfg: SignatureConfig,
+    lsh_cfg: LSHConfig,
+    tau: float,
+    sig_store_ref=None,
+):
     """map_groups fn over one HASH PARTITION of band rows (many buckets per
     call): sorts the partition by (band, bh), finds bucket boundaries
     vectorized, and only loops Python over buckets with >= 2 members —
@@ -165,25 +179,94 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
             return _pairs_table([], [], [])
         band = g.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         bh = g.column("bh").to_numpy(zero_copy_only=False).astype(np.uint64)
-        ids = np.asarray(g.column("id").to_pylist(), dtype=object)
         sim = g.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
         if "cmask" in g.column_names:
             cmask = g.column("cmask").to_numpy(zero_copy_only=False).astype(np.uint64)
         else:  # band rows emitted without the hot/capped prefilter
             cmask = np.zeros(m, dtype=np.uint64)
-        sigs = sig16_matrix(g.column("sig16"), num_perms)
+        if sig_store_ref is not None and "idh" in g.column_names:
+            # broadcast-signature mode: resolve sigs + ids from the shared
+            # hash-indexed store (one plasma object per node, zero-copy)
+            if sig_store_ref not in _WORKER_SIG_CACHE:
+                _WORKER_SIG_CACHE.clear()
+                _WORKER_SIG_CACHE[sig_store_ref] = ray.get(sig_store_ref)
+            IDH, SIG, IDS = _WORKER_SIG_CACHE[sig_store_ref]
+            pos = np.searchsorted(IDH, g.column("idh").to_numpy(zero_copy_only=False))
+            sigs = SIG[pos]
+            ids = IDS[pos]
+        else:
+            ids = np.asarray(g.column("id").to_pylist(), dtype=object)
+            sigs = sig16_matrix(g.column("sig16"), num_perms)
 
-        order = np.lexsort((bh, band))
+        # 64-bit hash of each row's full signature: identical signatures
+        # (exact dups and sketch-identical near-dups) collapse to ONE
+        # representative per bucket below — the O(m^2) in-bucket expansion
+        # then runs over DISTINCT signatures only, and identical followers
+        # attach by star edges (single-linkage components are preserved:
+        # a star reaches everything a clique reaches).
+        from ..functions.hashing import splitmix64 as _smx64
+
+        # fold 4 uint16 slots at a time via a uint64 view (32 passes, not 128)
+        sig64 = np.ascontiguousarray(sigs).view(np.uint64).reshape(m, num_perms // 4)
+        sigh = np.zeros(m, dtype=np.uint64)
+        for j in range(sig64.shape[1]):
+            sigh = sigh * np.uint64(0x9E3779B97F4A7C15) + sig64[:, j]
+        sigh = _smx64(sigh)
+
+        # deterministic rep choice WITHOUT sorting object strings (an
+        # object-dtype lexsort key costs more than the whole pair pass):
+        # a 64-bit id hash breaks run-internal ties reproducibly
+        import pandas as _pd
+
+        idh = _pd.util.hash_array(ids, categorize=False)
+        order = np.lexsort((idh, sigh, bh, band))
         band, bh, ids, sim, sigs = band[order], bh[order], ids[order], sim[order], sigs[order]
-        cmask = cmask[order]
+        cmask, sigh = cmask[order], sigh[order]
+        boundary = np.ones(m, dtype=bool)
+        boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+
+        # identical-signature runs inside each bucket
+        grp_first = boundary.copy()
+        grp_first[1:] |= sigh[1:] != sigh[:-1]
+        run_id = np.cumsum(grp_first) - 1
+        rep_pos = np.flatnonzero(grp_first)  # first row of each run
+        rep_of_row = rep_pos[run_id]
+
+        out_a, out_b, out_d = [], [], []
+
+        # star edges: follower -> its run representative, emitted ONLY in
+        # the first uncapped band (all bands agree for identical sigs, so
+        # exactly one band emits; if every band is capped, band 0 emits)
+        followers = np.flatnonzero(~grp_first)
+        if followers.size:
+            inv = (~cmask[followers]) & np.uint64((1 << n_bands) - 1)
+            lsb = inv & (np.uint64(0) - inv)
+            first_unc = np.where(
+                inv == 0, 0, np.log2(np.maximum(lsb, 1).astype(np.float64)).astype(np.int64)
+            )
+            emit_mask = band[followers] == first_unc
+            f = followers[emit_mask]
+            if f.size:
+                a_ids, b_ids = ids[rep_of_row[f]], ids[f]
+                swap = a_ids > b_ids
+                out_a.append(np.where(swap, b_ids, a_ids))
+                out_b.append(np.where(swap, a_ids, b_ids))
+                out_d.append(np.zeros(f.size, dtype=np.float64))
+
+        # representative-only view: rebuild bucket boundaries over reps
+        band = band[rep_pos]
+        bh = bh[rep_pos]
+        ids = ids[rep_pos]
+        sim = sim[rep_pos]
+        sigs = sigs[rep_pos]
+        cmask = cmask[rep_pos]
+        m = rep_pos.size
         boundary = np.ones(m, dtype=bool)
         boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         starts = np.flatnonzero(boundary)
         sizes = np.diff(np.append(starts, m))
 
-        out_a, out_b, out_d = [], [], []
-
-        def flush(iu: np.ndarray, ju: np.ndarray) -> None:
+        def flush(iu: np.ndarray, ju: np.ndarray, in_capped_bucket: bool = False) -> None:
             """Verify + canonically emit a batch of global (iu, ju) pairs
             — shared by the size-batched fast path and the capped loop."""
             if iu.size == 0:
@@ -191,18 +274,27 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
             eq = sigs[iu] == sigs[ju]  # (npairs, num_perms)
             d = 1.0 - eq.mean(axis=1)
             keep = d <= tau
-            # canonical-band: skip pairs whose slots already agreed in an
-            # earlier UNCAPPED band (that band emitted them).  An earlier
-            # capped band only chained SimHash neighbors, so it cannot be
-            # trusted to have emitted the pair (ADVICE r1).  On an agreeing
-            # band both rows share the bucket, so row a's cmask bit speaks
-            # for the pair.
+            # Canonical-band skip, capped-aware (ADVICE r1):
+            # - UNCAPPED bucket: skip only if an earlier UNCAPPED band
+            #   agreed (it fully expanded and emitted the pair).  An earlier
+            #   capped band only chained SimHash neighbors and cannot be
+            #   trusted — without this, a pair whose first agreeing band is
+            #   capped is suppressed in EVERY band.
+            # - CAPPED bucket (chain pairs): keep the original any-earlier-
+            #   band skip — an earlier capped band over the same membership
+            #   chained the SAME pairs (identical SimHash order), so
+            #   dropping the skip would emit every mega-dup chain pair once
+            #   per band (x bands edge blowup, measured 32x on the bench
+            #   corpus).
             b_cur = band[iu]
             band_eq = eq.reshape(-1, n_bands, rows_per_band).all(axis=2)
-            uncapped = ((cmask[iu][:, None] >> band_arange_u64[None, :]) & 1) == 0
-            earlier = (
-                band_eq & uncapped & (band_arange[None, :] < b_cur[:, None])
-            ).any(axis=1)
+            if in_capped_bucket:
+                earlier = (band_eq & (band_arange[None, :] < b_cur[:, None])).any(axis=1)
+            else:
+                uncapped = ((cmask[iu][:, None] >> band_arange_u64[None, :]) & 1) == 0
+                earlier = (
+                    band_eq & uncapped & (band_arange[None, :] < b_cur[:, None])
+                ).any(axis=1)
             keep &= ~earlier
             iu, ju, d = iu[keep], ju[keep], d[keep]
             if iu.size == 0:
@@ -232,7 +324,7 @@ def make_partition_pair_emitter(sig_cfg: SignatureConfig, lsh_cfg: LSHConfig, ta
             base = np.arange(sz - 1)
             iu_l = np.concatenate([base[: sz - d] for d in range(1, w + 1)])
             ju_l = np.concatenate([base[: sz - d] + d for d in range(1, w + 1)])
-            flush(so[iu_l], so[ju_l])
+            flush(so[iu_l], so[ju_l], in_capped_bucket=True)
 
         if not out_a:
             return _pairs_table([], [], [])
@@ -261,6 +353,10 @@ def candidate_pairs(
     pair-key groupby deduplicating pairs found in multiple bands (Min over
     est_distance keeps the estimate deterministic)."""
     lsh_cfg = lsh_cfg or LSHConfig()
+    # ~4 partitions per CPU: with one partition per core, a single skewed
+    # bucket-partition is a straggler that caps scaling; extra waves let
+    # the scheduler rebalance (measured: emit-partition max/mean ~3x)
+    num_partitions = max(int(num_partitions), 4 * _cluster_cpus())
     num_partitions = 1 << (int(num_partitions) - 1).bit_length()  # next pow2
     emit = make_band_emitter(sig_cfg)
     bands, rows = sig_cfg.bands, sig_cfg.rows
@@ -394,7 +490,110 @@ def candidate_pairs(
         pos[pos >= len(arr)] = len(arr) - 1
         return arr[pos] == vals
 
-    # ---- phase 2: signature shuffle over colliding rows only --------------
+    # ---- phase 2: band shuffle over colliding rows only -------------------
+    # Size-gated signature transport: while the signature table fits the
+    # broadcast cap, ship it ONCE as a hash-indexed blob (idh-sorted sig16
+    # matrix + ids; one zero-copy plasma object per node) and emit ~40 B
+    # band rows (band, bh, idh, simhash, cmask, pkey) — measured ~9x fewer
+    # bytes through the sort exchange than inline sig16 + id strings.
+    # Beyond the cap, signatures ride inline (nothing node-sized exists at
+    # 10^12 rows).
+    n_rows_slim = signed_slim.count()
+    use_bcast = n_rows_slim <= lsh_cfg.sig_broadcast_cap
+    sig_store_ref = None
+    if use_bcast:
+        import pandas as _pd
+
+        np_ = sig_cfg.num_perms
+
+        def to_store_rows(t: pa.Table) -> pa.Table:
+            # sig16 + id-hash computed on workers; the driver only
+            # concatenates and sorts
+            ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
+            sigs_b = sigs_to_matrix(t.column("minhash").to_pylist(), np_)
+            s16 = np.ascontiguousarray((sigs_b & np.uint32(0xFFFF)).astype(np.uint16))
+            sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(np_ * 2), len(ids_b), [None, pa.py_buffer(s16.tobytes())]
+            )
+            return pa.table(
+                {
+                    "idh": pa.array(
+                        _pd.util.hash_array(ids_b, categorize=False), pa.uint64()
+                    ),
+                    "sig": sig_arr,
+                    "id": t.column("id"),
+                }
+            )
+
+        idh_parts, sig_parts, id_parts = [], [], []
+        for b in (
+            signed_slim.select_columns(["id", "minhash"])
+            .map_batches(to_store_rows, batch_format="pyarrow", batch_size=8192)
+            .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+        ):
+            idh_parts.append(b.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64))
+            sig_parts.append(sig16_matrix(b.column("sig"), sig_cfg.num_perms).copy())
+            id_parts.append(np.asarray(b.column("id").to_pylist(), dtype=object))
+        idh_all = np.concatenate(idh_parts)
+        order = np.argsort(idh_all, kind="stable")
+        sig_store_ref = ray.put(
+            (
+                idh_all[order],
+                np.ascontiguousarray(np.vstack(sig_parts)[order]),
+                np.concatenate(id_parts)[order],
+            )
+        )
+
+    SLIM_BAND_SCHEMA = pa.schema(
+        [
+            ("band", pa.int32()),
+            ("bh", pa.uint64()),
+            ("idh", pa.uint64()),
+            ("simhash", pa.uint64()),
+            ("cmask", pa.uint64()),
+            ("pkey", pa.int32()),
+        ]
+    )
+
+    def emit_with_pkey_slim(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        n = t.num_rows
+        if n == 0:
+            return SLIM_BAND_SCHEMA.empty_table()
+        if hot_ref not in _WORKER_HOT_CACHE:
+            _WORKER_HOT_CACHE.clear()
+            _WORKER_HOT_CACHE[hot_ref] = ray.get(hot_ref)
+        hot_struct_w, capped_w = _WORKER_HOT_CACHE[hot_ref]
+        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
+        bh = band_hashes(sigs, bands, rows)  # (n, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh_flat = bh.reshape(-1)
+        comb = _smx(bh_flat ^ _smx(band_idx.astype(np.uint64)))
+        capped_bits = _in_sorted(capped_w, comb).reshape(-1, bands)
+        cm = np.bitwise_or.reduce(
+            capped_bits.astype(np.uint64) << np.arange(bands, dtype=np.uint64), axis=1
+        )
+        ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
+        idh_b = _pd.util.hash_array(ids_b, categorize=False)
+        sim_b = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = _member(hot_struct_w, comb)
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)[keep]
+        return pa.table(
+            {
+                "band": pa.array(band_idx[keep].astype(np.int32), pa.int32()),
+                "bh": pa.array(bh_flat[keep], pa.uint64()),
+                "idh": pa.array(idh_b[rep], pa.uint64()),
+                "simhash": pa.array(sim_b[rep], pa.uint64()),
+                "cmask": pa.array(cm[rep], pa.uint64()),
+                "pkey": pa.array(
+                    (bh_flat[keep] & np.uint64(num_partitions - 1)).astype(np.int32),
+                    pa.int32(),
+                ),
+            },
+            schema=SLIM_BAND_SCHEMA,
+        )
+
     def emit_with_pkey(t: pa.Table) -> pa.Table:
         bt = emit(t)
         if bt.num_rows:
@@ -425,10 +624,13 @@ def candidate_pairs(
         return bt.append_column("pkey", pkey)
 
     bands_ds = signed_slim.map_batches(
-        emit_with_pkey, batch_format="pyarrow", batch_size=4096
+        emit_with_pkey_slim if use_bcast else emit_with_pkey,
+        batch_format="pyarrow",
+        batch_size=4096,
     )
     pairs = bands_ds.groupby("pkey").map_groups(
-        make_partition_pair_emitter(sig_cfg, lsh_cfg, tau), batch_format="pyarrow"
+        make_partition_pair_emitter(sig_cfg, lsh_cfg, tau, sig_store_ref=sig_store_ref),
+        batch_format="pyarrow",
     )
     if dedup_pairs:
         # canonical-band emission already reduces multiplicity to ~1; this

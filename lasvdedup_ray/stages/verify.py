@@ -38,9 +38,10 @@ from .lsh import PAIR_SCHEMA
 
 logger = logging.getLogger(__name__)
 
-# below this many borderline pairs, attach contents on the driver (bounded
-# and faster than two join shuffles); above it, go fully distributed
-BORDER_DRIVER_CAP = 5_000
+# below this many borderline pairs, attach contents on the driver (bounded:
+# ~100 MB of pair rows + contents; one broadcast filter pass beats two
+# content-join shuffles); above it, go fully distributed (bloom + joins)
+BORDER_DRIVER_CAP = 100_000
 _BLOOM_BITS_PER_KEY = 16
 _BLOOM_MAX_BITS = 1 << 31
 
@@ -273,8 +274,13 @@ def verify_pairs(
                 ),
             }
         )
-        checked_ds = ray.data.from_arrow(border_t).map_batches(
-            check_batch, batch_format="pyarrow", batch_size=1024
+        # split into blocks so the exact checks parallelize (from_arrow is
+        # one block = one serial task otherwise)
+        n_blocks = max(1, min(64, len(bdf) // 512))
+        checked_ds = (
+            ray.data.from_arrow(border_t)
+            .repartition(n_blocks)
+            .map_batches(check_batch, batch_format="pyarrow", batch_size=1024)
         )
         return sure.union(checked_ds)
 
