@@ -61,6 +61,13 @@ class SignatureConfig:
             raise ValueError(
                 f"bands*rows ({self.bands}*{self.rows}) != num_perms ({self.num_perms})"
             )
+        if self.num_perms % 4 != 0:
+            # the LSH stage folds sig16 four uint16 slots at a time through a
+            # uint64 view (stages/lsh.py) — a non-multiple-of-4 num_perms
+            # would crash there with an opaque numpy reshape error
+            raise ValueError(
+                f"num_perms ({self.num_perms}) must be a multiple of 4"
+            )
         if self.k < 1:
             raise ValueError("shingle width k must be >= 1")
 
@@ -95,6 +102,15 @@ class LSHConfig:
     band_cap: int = 256
     cap_neighbors: int = 4
     pair_batch_rows: int = 65536
+    # Below this many slim rows (and while the broadcast signature store is
+    # in play) the hot/capped bucket sets are derived ON THE DRIVER from
+    # the store's sig16 matrix — O(rows * bands) vectorized, no second
+    # distributed pass and none of its materialize/count barriers, whose
+    # fixed serial cost caused the r2 small-scale regression.  Above the
+    # cap (or with inline transport) a distributed (band, bh) count pass
+    # finds them instead.  Both plans emit identical pair sets (pinned by
+    # tests/test_path_equivalence.py).
+    hot_driver_cap: int = 1_000_000
     # hot-bucket key set: collected exactly (sorted uint64 array) while the
     # distinct colliding-key count fits this cap; above it, a fixed-size
     # two-probe bloom bitmap is built instead (streaming, bounded driver

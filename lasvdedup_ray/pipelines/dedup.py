@@ -115,6 +115,7 @@ def dedup_pipeline(
                 config.signature,
                 config.lsh,
                 tau=emit_tau,
+                n_rows_hint=signed.count(),  # pinned upstream: metadata count
             ),
             signed.select_columns(["id", "content"]),
             config.signature,
@@ -170,6 +171,7 @@ def dedup_pipeline(
                 config.signature,
                 config.lsh,
                 tau=emit_tau,
+                n_rows_hint=reps_slim.count(),  # pinned upstream: metadata count
             ),
             signed.select_columns(["id", "content"]),
             config.signature,

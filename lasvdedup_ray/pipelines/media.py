@@ -78,8 +78,9 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
 def media_frame_stats(sf_dir: str) -> ray.data.Dataset:
     """Frame-sampling plumbing: per video item, sampled frame count and
     total sampled bytes (decode stubbed; layout and batch plumbing real)."""
-    videos = _media_ds().filter(
-        lambda r: r["media_type"] == "video"
+    videos = _media_ds().map_batches(
+        lambda t: t.filter(pc.equal(t["media_type"], "video")),
+        batch_format="pyarrow",
     )
     frames = frame_sample_stub(videos, every_ms=1000)
 

@@ -138,21 +138,47 @@ def quality_filter(sf_dir: str, min_chars: int = 100, max_digit_ratio: float = 0
 
 SHINGLE_K = 8  # character shingle width for the n-gram Jaccard join
 
+_SHINGLE_MULT = np.uint64(0x9E3779B97F4A7C15)
+
 
 def _doc_shingles(t: pa.Table, k: int) -> pa.Table:
-    """Explode docs to distinct (doc_id, shingle-string) rows — plain
-    substrings (no hashing) so a SQL oracle can reproduce them exactly."""
+    """Explode docs to distinct (doc_id, shingle-hash) rows.
+
+    Shingles are 64-bit hashes of the k-codepoint windows, not raw
+    substrings (VERDICT r2: raw 8-char substrings dominated the shuffle —
+    ~1 row per character of input — and forced an object-dtype sort in the
+    posting pass; int64 hashes cut shuffle bytes ~3x and make the sort an
+    integer sort).  Distinct hashes stand in 1:1 for distinct substrings
+    up to 64-bit collisions (~n_shingles^2 / 2^64 — ~5e-8 at sf0.01); the
+    SQL oracle keeps exact substrings, so a collision would surface as a
+    hash-gate mismatch rather than hide.  Windowing is vectorized per doc
+    (sliding_window_view over UTF-32 code points + a column fold) — no
+    Python set of strings."""
+    from ..functions.hashing import splitmix64
+
     out_ids, out_sh = [], []
     for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        n = len(txt)
+        cp = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+        n = cp.size
         if n < k:
-            sh = {txt}
+            win = cp.reshape(1, n)  # whole text as the single shingle
         else:
-            sh = {txt[i : i + k] for i in range(n - k + 1)}
-        out_ids.extend([did] * len(sh))
-        out_sh.extend(sh)
+            win = np.lib.stride_tricks.sliding_window_view(cp, k)
+        h = np.full(win.shape[0], np.uint64(win.shape[1]), dtype=np.uint64)
+        for j in range(win.shape[1]):
+            h = h * _SHINGLE_MULT + win[:, j].astype(np.uint64)
+        uniq = np.unique(splitmix64(h))
+        out_ids.append(np.full(uniq.size, did, dtype=np.int64))
+        out_sh.append(uniq)
+    if not out_ids:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "shingle": pa.array([], pa.uint64())}
+        )
     return pa.table(
-        {"doc_id": pa.array(out_ids, pa.int64()), "shingle": pa.array(out_sh, pa.string())}
+        {
+            "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+            "shingle": pa.array(np.concatenate(out_sh), pa.uint64()),
+        }
     )
 
 
@@ -164,6 +190,9 @@ def _doc_shingles(t: pa.Table, k: int) -> pa.Table:
 # exactly at every scale.  Drops are counted and logged, never silent.
 NGRAM_DF_CAP = 128
 NGRAM_PARTITIONS = 64
+# below this many docs the per-doc set-size table broadcasts as two int64
+# vectors (64 MB at the cap); above it the sizes attach via hash joins
+NGRAM_SIZE_BCAST_CAP = 4_000_000
 
 
 def ngram_jaccard_pairs(
@@ -178,18 +207,14 @@ def ngram_jaccard_pairs(
     counterpart of the MinHash path, with a full SQL oracle."""
     import logging
 
-    import zlib
-
     logger = logging.getLogger(__name__)
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata only — no read
 
     def shingles_with_pkey(t: pa.Table) -> pa.Table:
         s = _doc_shingles(t, SHINGLE_K)
-        pk = np.fromiter(
-            (zlib.crc32(x.encode()) % NGRAM_PARTITIONS for x in s["shingle"].to_pylist()),
-            dtype=np.int32,
-            count=s.num_rows,
-        )
+        h = s["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pk = (h % np.uint64(NGRAM_PARTITIONS)).astype(np.int32)
         return s.append_column("pkey", pa.array(pk, pa.int32()))
 
     OUT_SCHEMA = pa.schema(
@@ -203,7 +228,7 @@ def ngram_jaccard_pairs(
         m = g.num_rows
         if m == 0:
             return OUT_SCHEMA.empty_table()
-        sh = np.asarray(g["shingle"].to_pylist(), dtype=object)
+        sh = g["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(sh, kind="stable")
         sh, ids = sh[order], ids[order]
@@ -221,8 +246,12 @@ def ngram_jaccard_pairs(
             out_a.append(uids)
             out_b.append(np.full(len(uids), -1, dtype=np.int64))
             out_v.append(counts.astype(np.int64))
-        # pairs from kept multi-member buckets, batched by bucket size
+        # pairs from kept multi-member buckets, batched by bucket size,
+        # then PRE-AGGREGATED within the partition (a near-dup doc pair
+        # co-occurs in hundreds of shingle buckets — combining locally
+        # shrinks the (id_a, id_b) groupby input by that factor)
         multi = (sizes >= 2) & (sizes <= df_cap)
+        pa_parts, pb_parts = [], []
         for sz in np.unique(sizes[multi]):
             ss = starts[sizes == sz]
             iu_l, ju_l = np.triu_indices(int(sz), k=1)
@@ -230,9 +259,17 @@ def ngram_jaccard_pairs(
             ju = (ss[:, None] + ju_l[None, :]).ravel()
             a, b = ids[iu], ids[ju]
             swap = a > b
-            out_a.append(np.where(swap, b, a))
-            out_b.append(np.where(swap, a, b))
-            out_v.append(np.ones(len(a), dtype=np.int64))
+            pa_parts.append(np.where(swap, b, a))
+            pb_parts.append(np.where(swap, a, b))
+        if pa_parts:
+            ab = np.stack(
+                [np.concatenate(pa_parts), np.concatenate(pb_parts)], axis=1
+            )
+            rec = ab.view([("a", np.int64), ("b", np.int64)]).ravel()
+            uniq_rec, counts = np.unique(rec, return_counts=True)
+            out_a.append(uniq_rec["a"])
+            out_b.append(uniq_rec["b"])
+            out_v.append(counts.astype(np.int64))
         # dropped-bucket accounting (id_a = df of the dropped bucket)
         dropped = sizes[sizes > df_cap]
         if dropped.size:
@@ -267,11 +304,139 @@ def ngram_jaccard_pairs(
 
         return fn
 
-    n_dropped = (
-        emitted.map_batches(
-            _filter_kind(lambda t: pc.equal(t["id_b"], -2)), batch_format="pyarrow"
-        ).count()
+    # co-occurrence totals per pair: ONE hash-partition groupby on a pair
+    # key + a vectorized within-partition reduction.  Ray's native
+    # two-key groupby().aggregate() measured ~160k rows/s on this box
+    # (10.7 s for 1.7M partial rows) — the map_groups pattern is ~5x
+    # faster because each partition reduces with one np.unique/bincount
+    # call instead of per-group aggregate machinery.
+    from ..functions.hashing import splitmix64 as _smx64
+
+    INTER_SCHEMA = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("inter", pa.int64())]
     )
+
+    def pair_pkey(t: pa.Table) -> pa.Table:
+        if "id_b" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "val": pa.array([], pa.int64()),
+                    "ppk": pa.array([], pa.int32()),
+                }
+            )
+        t = t.filter(pc.greater_equal(t["id_b"], 0))
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        key = _smx64(_smx64(a) ^ (b * _SHINGLE_MULT))
+        return t.append_column(
+            "ppk",
+            pa.array((key % np.uint64(NGRAM_PARTITIONS)).astype(np.int32), pa.int32()),
+        )
+
+    def pair_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "val" not in g.column_names:
+            return INTER_SCHEMA.empty_table()
+        a = g["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = g["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = g["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rec = np.stack([a, b], axis=1).view([("a", np.int64), ("b", np.int64)]).ravel()
+        uniq, inv = np.unique(rec, return_inverse=True)
+        sums = np.bincount(inv, weights=v.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(uniq["a"], pa.int64()),
+                "id_b": pa.array(uniq["b"], pa.int64()),
+                "inter": pa.array(sums, pa.int64()),
+            },
+            schema=INTER_SCHEMA,
+        )
+
+    inter = (
+        emitted.map_batches(pair_pkey, batch_format="pyarrow")
+        .groupby("ppk")
+        .map_groups(
+            lambda t: pair_reduce(t.drop_columns(["ppk"])), batch_format="pyarrow"
+        )
+    )
+
+    if n_docs <= NGRAM_SIZE_BCAST_CAP:
+        # attach |A| and |B| from a broadcast (doc_id -> set size) array
+        # pair instead of two hash joins (each join costs ~2 s of actor
+        # spin-up on this box even for 1k-row tables — they were the bulk
+        # of this query's wall time, VERDICT r2 #2).  ONE driver pass over
+        # the materialized emitted rows aggregates the per-doc size
+        # partials (already partition-combined: at most n_docs *
+        # n_partitions rows) AND the dropped-bucket accounting — replacing
+        # a groupby all-to-all and a separate count pass.
+        sid_parts, sz_parts = [], []
+        n_dropped = 0
+        for b in emitted.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            if "id_b" not in b.column_names or b.num_rows == 0:
+                continue
+            idb = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ida = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            val = b["val"].to_numpy(zero_copy_only=False).astype(np.int64)
+            szmask = idb == -1
+            if szmask.any():
+                sid_parts.append(ida[szmask])
+                sz_parts.append(val[szmask])
+            n_dropped += int((idb == -2).sum())
+        if n_dropped:
+            logger.warning(
+                "ngram_jaccard_pairs: %d shingle buckets exceeded df_cap=%d and "
+                "were excluded from the similarity universe (boilerplate "
+                "suppression)",
+                n_dropped,
+                df_cap,
+            )
+        sid = np.concatenate(sid_parts) if sid_parts else np.empty(0, np.int64)
+        szv = np.concatenate(sz_parts) if sz_parts else np.empty(0, np.int64)
+        uniq_sid, inv = np.unique(sid, return_inverse=True)  # sorted keys
+        sums = (
+            np.bincount(inv, weights=szv.astype(np.float64)).astype(np.int64)
+            if uniq_sid.size
+            else np.empty(0, np.int64)
+        )
+        size_ref = ray.put((uniq_sid, sums))
+
+        def jaccard_bcast(t: pa.Table) -> pa.Table:
+            if "inter" not in t.column_names or t.num_rows == 0:
+                return pa.table(
+                    {
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                        "jaccard_e6": pa.array([], pa.int64()),
+                    }
+                )
+            sid_w, sz_w = ray.get(size_ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sz_a = sz_w[np.searchsorted(sid_w, a)].astype(np.float64)
+            sz_b = sz_w[np.searchsorted(sid_w, b)].astype(np.float64)
+            inter_n = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+            jac = inter_n / (sz_a + sz_b - inter_n)
+            out = pa.table(
+                {
+                    "id_a": t["id_a"],
+                    "id_b": t["id_b"],
+                    "jaccard": pa.array(jac, pa.float64()),
+                }
+            )
+            return quantize(out, ["jaccard"], scale=1_000_000, suffix="_e6").filter(
+                pc.greater_equal(pa.array(jac), threshold)
+            )
+
+        return inter.map_batches(jaccard_bcast, batch_format="pyarrow").sort(
+            ["id_a", "id_b"]
+        )
+
+    # ---- above the broadcast cap: fully distributed accounting ----------
+    n_dropped = emitted.map_batches(
+        _filter_kind(lambda t: pc.equal(t["id_b"], -2)), batch_format="pyarrow"
+    ).count()
     if n_dropped:
         logger.warning(
             "ngram_jaccard_pairs: %d shingle buckets exceeded df_cap=%d and were "
@@ -279,26 +444,19 @@ def ngram_jaccard_pairs(
             n_dropped,
             df_cap,
         )
-
     sizes_ds = (
         emitted.map_batches(
             _filter_kind(lambda t: pc.equal(t["id_b"], -1)), batch_format="pyarrow"
         )
         .groupby("id_a")
         .aggregate(Sum("val", alias_name="set_size"))
-    )
-    inter = (
-        emitted.map_batches(
-            _filter_kind(lambda t: pc.greater_equal(t["id_b"], 0)), batch_format="pyarrow"
-        )
-        .groupby(["id_a", "id_b"])
-        .aggregate(Sum("val", alias_name="inter"))
+        .materialize()
     )
 
     from .relational import _join_partitions
 
     np_join = _join_partitions()
-    # attach |A| and |B| by joins (no O(n_docs) driver dict); the
+    # attach |A| and |B| by joins (no O(n_docs) driver structure); the
     # repartition between chained joins heals Ray 2.49's 0-column blocks
     # from empty join partitions
     j = (
@@ -377,14 +535,29 @@ def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(fp, batch_format="pyarrow").sort("doc_id")
 
 
-def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
+SIMHASH_BUCKET_CAP = 1024  # slice buckets above this chain neighbors
+SIMHASH_CAP_NEIGHBORS = 8
+
+
+def simhash_near_pairs(
+    sf_dir: str,
+    max_hamming: int = 8,
+    bucket_cap: int = SIMHASH_BUCKET_CAP,
+    cap_neighbors: int = SIMHASH_CAP_NEIGHBORS,
+) -> ray.data.Dataset:
     """SimHash near-dup pairs: sign per doc via the signer pool, then
     bucket by ``max_hamming + 1`` bit-slices of the 64-bit SimHash — with
     at most ``max_hamming`` differing bits, at least one of the
     ``max_hamming + 1`` slices is untouched (pigeonhole), so EVERY pair
     within the radius shares a bucket (ADVICE r1: 4 quadrants only
     guaranteed hd <= 3).  Hamming is verified inside each bucket.  Scale
-    path: one slim shuffle, no O(n^2)."""
+    path: one slim shuffle, no O(n^2) — a slice bucket above
+    ``SIMHASH_BUCKET_CAP`` members (boilerplate-heavy corpora where many
+    docs share a 7-bit slice) is NOT expanded quadratically: members are
+    sorted by full SimHash (close values adjacent) and chained to their
+    ``SIMHASH_CAP_NEIGHBORS`` successors, mirroring the flagship's
+    band_cap (VERDICT r2 #3).  The pigeonhole guarantee then holds only
+    through the uncapped slices; truncation is logged, never silent."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_source(t: pa.Table) -> pa.Table:
@@ -440,13 +613,35 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 8) -> ray.data.Dataset:
         sims = g["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids)
         ids, sims = ids[order], sims[order]
-        iu, ju = np.triu_indices(m, k=1)
+        if m > bucket_cap:
+            # skewed slice bucket: chain SimHash-sorted neighbors instead
+            # of the O(m^2) expansion (observable, not silent)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "simhash_near_pairs: slice bucket of %d members exceeds "
+                "cap=%d; chaining %d nearest neighbors per member",
+                m,
+                bucket_cap,
+                cap_neighbors,
+            )
+            so = np.argsort(sims, kind="stable")
+            ids, sims = ids[so], sims[so]
+            w = min(cap_neighbors, m - 1)
+            base = np.arange(m - 1)
+            iu = np.concatenate([base[: m - d] for d in range(1, w + 1)])
+            ju = np.concatenate([base[: m - d] + d for d in range(1, w + 1)])
+        else:
+            iu, ju = np.triu_indices(m, k=1)
         hd = hamming64(sims[iu], sims[ju])
         keep = hd <= max_hamming
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        swap = a > b  # canonical id_a < id_b (the capped chain emits in
+        # SimHash order, not id order)
         return pa.table(
             {
-                "id_a": pa.array(ids[iu[keep]], pa.int64()),
-                "id_b": pa.array(ids[ju[keep]], pa.int64()),
+                "id_a": pa.array(np.where(swap, b, a), pa.int64()),
+                "id_b": pa.array(np.where(swap, a, b), pa.int64()),
                 "hamming": pa.array(hd[keep], pa.int64()),
             }
         )

@@ -82,14 +82,24 @@ SINGLE, BELOW, SMALL, OUTLIERS, COINF = (
 # above this cluster size the O(g^2) all-pairs check is replaced by an exact
 # metric bound on distance-to-representative (normalized Hamming distance
 # between signature vectors is a metric, so max(d_rep) <= tau/2 implies every
-# pairwise distance <= tau) plus a deterministic stride sample in the
-# inconclusive band — Case 2 is never decided negatively *solely* because the
-# quadratic check was skipped.  group_members is truncated above
-# MEMBER_LIST_CAP with an explicit "...+N more" marker (observable cap).
+# pairwise distance <= tau, and max(d_rep) > tau disproves it).  In the
+# inconclusive band a stride sample can only DISPROVE (a sampled pair > tau
+# is a real violation); a clean sample is never treated as proof — up to
+# CASE2_EXACT_PAIR_BUDGET pairs the check falls back to a BLOCKED exact
+# all-pairs pass (early-exit on first violation, bounded memory), and past
+# that budget Case 2 is decided conservatively False, falling through to
+# Case 3/4/5 exactly like the reference routes clusters that fail its
+# all-pairwise check (sequence_grouping.py:227) — a false "all duplicates"
+# verdict from a sample would silently DROP non-duplicate records (ADVICE
+# r2), while the fall-through only keeps extra rows.  group_members is
+# truncated above MEMBER_LIST_CAP with an explicit "...+N more" marker.
 PAIRWISE_CAP = 4096
 MEMBER_LIST_CAP = 100
 # deterministic pseudo-random pair sample size for the inconclusive band
 CASE2_SAMPLE_PAIRS = 4096
+# blocked exact all-pairs ceiling (~2^26 pairs ≈ m <= 11.5k): above this,
+# inconclusive mega-clusters fall through to Case 3/4/5
+CASE2_EXACT_PAIR_BUDGET = 1 << 26
 
 
 def compute_ranks(
@@ -183,9 +193,11 @@ def make_cluster_classifier(config: PipelineConfig):
             # d(a,b) <= d(a,rep) + d(rep,b) <= 2*max(d_rep), so
             # max(d_rep) <= tau/2 proves every pairwise <= tau without the
             # O(m^2) check.  max(d_rep) > tau disproves it (d_rep IS a
-            # pairwise distance).  In between, a deterministic stride sample
-            # of pairs decides — never fall through to TrueCoinfection just
-            # because the quadratic check was skipped.
+            # pairwise distance).  In between: a stride sample may only
+            # DISPROVE; a clean sample falls back to a blocked exact
+            # all-pairs check (early-exit), or — past the pair budget —
+            # conservatively to False (ADVICE r2: a sampled "True" here
+            # would mark real non-duplicates DUPLICATE and drop them).
             dmax = float(d_rep.max())
             if dmax <= th.tau / 2.0:
                 case2 = True
@@ -199,7 +211,20 @@ def make_cluster_classifier(config: PipelineConfig):
                     [(base + s) % m for s in range(1, n_strides + 1)]
                 )
                 dists = 1.0 - (sigs[iu] == sigs[ju]).mean(axis=1)
-                case2 = bool(np.all(dists <= th.tau))
+                if np.any(dists > th.tau):
+                    case2 = False  # sound: a real pair above tau
+                elif m * (m - 1) // 2 <= CASE2_EXACT_PAIR_BUDGET:
+                    # row-anchored blocked pass: O(m * num_perms) memory per
+                    # step, early exit on the first violating pair
+                    case2 = True
+                    floor = 1.0 - th.tau  # min fraction of agreeing slots
+                    for i in range(m - 1):
+                        agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                        if np.any(agree < floor):
+                            case2 = False
+                            break
+                else:
+                    case2 = False  # conservative fall-through (Case 3/4/5)
         if case2:
             cls = [DUPLICATE] * m
             cls[best_idx] = KEEP

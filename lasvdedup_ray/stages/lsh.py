@@ -29,7 +29,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..config import LSHConfig, SignatureConfig
-from ..functions.hashing import band_hashes
+from ..functions.hashing import band_hashes, splitmix64 as _smx64
 from .signatures import sigs_to_matrix
 
 # worker-process-level caches for broadcast side data (hot-bucket keys and
@@ -77,7 +77,12 @@ def make_band_emitter(cfg: SignatureConfig):
         blobs = t.column("minhash").to_pylist()
         sigs = sigs_to_matrix(blobs, num_perms)
         sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
-        bh = band_hashes(sigs, bands, rows)  # (n, bands)
+        # banding over the sig16 slots (consistent across every plan and
+        # with the driver-side hot-set derivation): a band whose low-16
+        # slot values agree hashes equal; false band collisions from the
+        # dropped high bits are ~2^-64 per pair-band — negligible, and
+        # every candidate is verified against the full sig16 anyway
+        bh = band_hashes(sig16, bands, rows)  # (n, bands)
         band_idx = np.tile(np.arange(bands, dtype=np.int32), n)
         # repeat ids/sig/simhash bands times (take with repeated indices —
         # arrow-level, no python loop)
@@ -126,6 +131,180 @@ def _pairs_table(ids_a, ids_b, dists) -> pa.Table:
         },
         schema=PAIR_SCHEMA,
     )
+
+
+SLIM_BAND_SCHEMA = pa.schema(
+    [
+        ("band", pa.int32()),
+        ("bh", pa.uint64()),
+        ("idh", pa.uint64()),
+        ("simhash", pa.uint64()),
+        ("cmask", pa.uint64()),
+        ("pkey", pa.int32()),
+    ]
+)
+
+
+def _hash_combine(band_arr: np.ndarray, bh_arr: np.ndarray) -> np.ndarray:
+    """64-bit combined (band, bh) bucket key; a false collision only ships
+    one extra row into the shuffle (never drops a hot row)."""
+    return _smx64(bh_arr.astype(np.uint64) ^ _smx64(band_arr.astype(np.uint64)))
+
+
+def _in_sorted(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Membership of ``vals`` in the sorted uint64 array ``arr``."""
+    if not len(arr):
+        return np.zeros(len(vals), dtype=bool)
+    pos = np.searchsorted(arr, vals)
+    pos[pos >= len(arr)] = len(arr) - 1
+    return arr[pos] == vals
+
+
+def _member(struct, comb: np.ndarray) -> np.ndarray:
+    """Hot-bucket membership against either representation: ("exact",
+    sorted-keys) or ("bloom", bitmap, mask)."""
+    if struct[0] == "exact":
+        return _in_sorted(struct[1], comb)
+    _, bitmap, bmask = struct
+    ok = np.ones(len(comb), dtype=bool)
+    for probe in (comb & bmask, _smx64(comb) & bmask):
+        word = bitmap[probe >> np.uint64(6)]
+        ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
+    return ok
+
+
+def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
+    """Assemble the broadcast signature store: one idh-sorted (idh, sig16,
+    ids) blob in plasma (``ray.put`` once; zero-copy reads, one physical
+    copy per node).  Returns ``(store_ref, sig16_matrix)`` — the matrix is
+    handed back so the caller can derive the hot/capped bucket sets
+    driver-side without a second distributed pass.  Returns ``(None,
+    None)`` on a 64-bit id-hash collision between two distinct ids (ADVICE
+    r2: searchsorted would silently resolve both to one signature and emit
+    pairs with wrong ids) — callers must then fall back to inline
+    signature transport."""
+    import pandas as _pd
+
+    np_ = sig_cfg.num_perms
+
+    def to_store_rows(t: pa.Table) -> pa.Table:
+        # sig16 + id-hash computed on workers; the driver only
+        # concatenates and sorts
+        ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
+        sigs_b = sigs_to_matrix(t.column("minhash").to_pylist(), np_)
+        s16 = np.ascontiguousarray((sigs_b & np.uint32(0xFFFF)).astype(np.uint16))
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(np_ * 2), len(ids_b), [None, pa.py_buffer(s16.tobytes())]
+        )
+        return pa.table(
+            {
+                "idh": pa.array(
+                    _pd.util.hash_array(ids_b, categorize=False), pa.uint64()
+                ),
+                "sig": sig_arr,
+                "id": t.column("id"),
+            }
+        )
+
+    idh_parts, sig_parts, id_parts = [], [], []
+    for b in (
+        signed_slim.select_columns(["id", "minhash"])
+        .map_batches(to_store_rows, batch_format="pyarrow", batch_size=8192)
+        .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+    ):
+        idh_parts.append(b.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64))
+        sig_parts.append(sig16_matrix(b.column("sig"), np_).copy())
+        id_parts.append(np.asarray(b.column("id").to_pylist(), dtype=object))
+    if not idh_parts:
+        return None, None
+    idh_all = np.concatenate(idh_parts)
+    order = np.argsort(idh_all, kind="stable")
+    idh_sorted = idh_all[order]
+    if idh_sorted.size > 1 and bool(np.any(idh_sorted[1:] == idh_sorted[:-1])):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "id-hash collision in broadcast signature store (n=%d): "
+            "falling back to inline signature transport",
+            idh_sorted.size,
+        )
+        return None, None
+    sig16_sorted = np.ascontiguousarray(np.vstack(sig_parts)[order])
+    ref = ray.put(
+        (
+            idh_sorted,
+            sig16_sorted,
+            np.concatenate(id_parts)[order],
+        )
+    )
+    return ref, sig16_sorted
+
+
+def _derive_hot_sets(sig16: np.ndarray, sig_cfg: SignatureConfig, band_cap: int):
+    """Driver-side hot/capped bucket derivation from the full sig16 matrix
+    (the broadcast store already collected it): one vectorized
+    band-hash + unique pass, O(rows * bands * 8 B) transient memory —
+    size-gated by ``LSHConfig.hot_driver_cap``.  Returns the same exact
+    ("exact", sorted-keys) structure + capped key array the distributed
+    prefilter pass produces."""
+    n = sig16.shape[0]
+    bh = band_hashes(sig16, sig_cfg.bands, sig_cfg.rows)  # (n, bands)
+    band_idx = np.tile(np.arange(sig_cfg.bands, dtype=np.int64), n)
+    comb = _hash_combine(band_idx, bh.reshape(-1))
+    uniq, cnt = np.unique(comb, return_counts=True)  # sorted keys
+    hot = cnt >= 2
+    return ("exact", uniq[hot]), uniq[cnt > band_cap]
+
+
+def _make_slim_band_emitter(sig_cfg: SignatureConfig, num_partitions: int, hot_ref):
+    """map_batches fn: (id, minhash, simhash) -> slim ~40 B band rows
+    (band, bh, idh, simhash, cmask, pkey) for broadcast-store transport.
+    Only rows in hot (>= 2 member) buckets ship; cmask flags capped
+    bands."""
+    bands, rows = sig_cfg.bands, sig_cfg.rows
+
+    def emit_slim(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        n = t.num_rows
+        if n == 0:
+            return SLIM_BAND_SCHEMA.empty_table()
+        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
+        sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
+        bh = band_hashes(sig16, bands, rows)  # (n, bands)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        bh_flat = bh.reshape(-1)
+        if hot_ref not in _WORKER_HOT_CACHE:
+            _WORKER_HOT_CACHE.clear()
+            _WORKER_HOT_CACHE[hot_ref] = ray.get(hot_ref)
+        hot_struct_w, capped_w = _WORKER_HOT_CACHE[hot_ref]
+        comb = _hash_combine(band_idx, bh_flat)
+        capped_bits = _in_sorted(capped_w, comb).reshape(-1, bands)
+        cm = np.bitwise_or.reduce(
+            capped_bits.astype(np.uint64) << np.arange(bands, dtype=np.uint64),
+            axis=1,
+        )
+        keep = _member(hot_struct_w, comb)
+        ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
+        idh_b = _pd.util.hash_array(ids_b, categorize=False)
+        sim_b = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        rep = np.repeat(np.arange(n, dtype=np.int64), bands)[keep]
+        return pa.table(
+            {
+                "band": pa.array(band_idx[keep].astype(np.int32), pa.int32()),
+                "bh": pa.array(bh_flat[keep], pa.uint64()),
+                "idh": pa.array(idh_b[rep], pa.uint64()),
+                "simhash": pa.array(sim_b[rep], pa.uint64()),
+                "cmask": pa.array(cm[rep], pa.uint64()),
+                "pkey": pa.array(
+                    (bh_flat[keep] & np.uint64(num_partitions - 1)).astype(np.int32),
+                    pa.int32(),
+                ),
+            },
+            schema=SLIM_BAND_SCHEMA,
+        )
+
+    return emit_slim
 
 
 def make_partition_pair_emitter(
@@ -344,36 +523,79 @@ def candidate_pairs(
     tau: float = 0.2,
     num_partitions: int = 64,
     dedup_pairs: bool = False,
+    n_rows_hint: Optional[int] = None,
 ) -> ray.data.Dataset:
     """(id, minhash, simhash) dataset -> verified near-dup pairs
     (id_a < id_b, est_distance <= tau).
 
-    Shuffles: ONE hash-partition groupby on ``pkey = bh % P`` (bucket
-    co-location + candidate gen + verify in a single exchange), then a slim
-    pair-key groupby deduplicating pairs found in multiple bands (Min over
-    est_distance keeps the estimate deterministic)."""
+    One band-shuffle plan with two size-gated ingredients (all variants
+    emit identical pair sets, pinned by ``tests/test_path_equivalence.py``):
+
+    - SIGNATURE TRANSPORT: under ``sig_broadcast_cap`` rows, signatures
+      ship once as a hash-indexed broadcast store and band rows are ~40 B
+      slim; above it they ride inline (nothing node-sized exists at 10^12
+      rows).
+    - HOT/CAPPED BUCKET SETS: under ``hot_driver_cap`` rows (broadcast
+      mode only) they are derived driver-side from the store's sig16
+      matrix — no second distributed pass, none of its materialize/count
+      barriers (the r2 small-scale regression).  Above it, a slim
+      (band, bh) count pass finds them distributed.  Only rows in hot
+      (>= 2 member) buckets enter the band shuffle, and canonical-band
+      emission keeps pair multiplicity ~1 with no pair-dedup shuffle.
+
+    ``n_rows_hint``: caller-known row count of ``signed_slim`` (skips a
+    count pass)."""
     lsh_cfg = lsh_cfg or LSHConfig()
     # ~4 partitions per CPU: with one partition per core, a single skewed
     # bucket-partition is a straggler that caps scaling; extra waves let
     # the scheduler rebalance (measured: emit-partition max/mean ~3x)
     num_partitions = max(int(num_partitions), 4 * _cluster_cpus())
     num_partitions = 1 << (int(num_partitions) - 1).bit_length()  # next pow2
-    emit = make_band_emitter(sig_cfg)
     bands, rows = sig_cfg.bands, sig_cfg.rows
 
-    # ---- phase 1: frequency pre-filter ------------------------------------
-    # Nearly all band buckets are singletons and can never form a pair, yet
-    # their rows would dominate the signature-carrying shuffle (the
-    # pipeline's bandwidth wall: ~11 KB/file of band rows vs ~5 KB of
-    # content).  A SLIM (band, bh) count pass finds the colliding bucket
-    # keys first; only rows in those buckets enter the signature shuffle
-    # (~85-95% volume cut on realistic corpora).
+    n_rows_slim = int(n_rows_hint) if n_rows_hint is not None else signed_slim.count()
+    if n_rows_slim < 2:
+        # 0/1-row input: no pair can exist (and a zero-block dataset
+        # downstream would be schemaless)
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+
+    if bands > 64:
+        raise ValueError("cmask capped-band bitmask supports at most 64 bands")
+    band_cap = lsh_cfg.band_cap
     from ..functions.hashing import splitmix64 as _smx
 
-    def _combine(band_arr: np.ndarray, bh_arr: np.ndarray) -> np.ndarray:
-        # 64-bit combined bucket key; a false collision only ships one
-        # extra row into the shuffle (never drops a hot row)
-        return _smx(bh_arr.astype(np.uint64) ^ _smx(band_arr.astype(np.uint64)))
+    # ---- phase 0: signature transport ------------------------------------
+    # While the table fits the broadcast cap, ship signatures ONCE as a
+    # hash-indexed blob; band rows shrink to ~40 B (measured ~9x fewer
+    # bytes through the sort exchange than inline sig16 + id strings).
+    sig_store_ref = sig16_drv = None
+    if n_rows_slim <= lsh_cfg.sig_broadcast_cap:
+        sig_store_ref, sig16_drv = _build_sig_store(signed_slim, sig_cfg)
+    use_bcast = sig_store_ref is not None
+
+    # ---- phase 1: hot/capped bucket sets ---------------------------------
+    # Nearly all band buckets are singletons and can never form a pair, yet
+    # their rows would dominate the band shuffle.  Only rows in hot (>= 2
+    # member) buckets enter it (~85-95% volume cut on realistic corpora).
+    if use_bcast and n_rows_slim <= lsh_cfg.hot_driver_cap:
+        # the store build already collected every sig16 on the driver:
+        # derive the EXACT hot/capped key sets locally — no second
+        # distributed pass, no materialize/count barriers
+        hot_struct, capped_sorted = _derive_hot_sets(sig16_drv, sig_cfg, band_cap)
+        if hot_struct[1].size == 0:
+            return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+        hot_ref = ray.put((hot_struct, capped_sorted))
+        return _banded_pairs(
+            signed_slim,
+            sig_cfg,
+            lsh_cfg,
+            tau,
+            num_partitions,
+            dedup_pairs,
+            hot_ref,
+            sig_store_ref,
+            use_bcast=True,
+        )
 
     def emit_keys(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -382,17 +604,14 @@ def candidate_pairs(
                 {"pkey": pa.array([], pa.int32()), "ckey": pa.array([], pa.uint64())}
             )
         sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
-        bh = band_hashes(sigs, bands, rows)
+        sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
+        bh = band_hashes(sig16, bands, rows)
         band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
-        ckey = _combine(band_idx, bh.reshape(-1))
+        ckey = _hash_combine(band_idx, bh.reshape(-1))
         pk = (ckey & np.uint64(num_partitions - 1)).astype(np.int32)
         return pa.table(
             {"pkey": pa.array(pk, pa.int32()), "ckey": pa.array(ckey, pa.uint64())}
         )
-
-    band_cap = lsh_cfg.band_cap
-    if bands > 64:
-        raise ValueError("cmask capped-band bitmask supports at most 64 bands")
 
     def dup_keys(g: pa.Table) -> pa.Table:
         # vectorized within one hash partition: keys appearing >= 2 times,
@@ -467,132 +686,35 @@ def candidate_pairs(
         else np.empty(0, dtype=np.uint64)
     )
     hot_ref = ray.put((hot_struct, capped_sorted))
-
-    def _member(struct, comb: np.ndarray) -> np.ndarray:
-        if struct[0] == "exact":
-            hot = struct[1]
-            if not len(hot):
-                return np.zeros(len(comb), dtype=bool)
-            pos = np.searchsorted(hot, comb)
-            pos[pos >= len(hot)] = len(hot) - 1
-            return hot[pos] == comb
-        _, bitmap, bmask = struct
-        ok = np.ones(len(comb), dtype=bool)
-        for probe in (comb & bmask, _smx(comb) & bmask):
-            word = bitmap[probe >> np.uint64(6)]
-            ok &= (word >> (probe & np.uint64(63))) & np.uint64(1) != 0
-        return ok
-
-    def _in_sorted(arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
-        if not len(arr):
-            return np.zeros(len(vals), dtype=bool)
-        pos = np.searchsorted(arr, vals)
-        pos[pos >= len(arr)] = len(arr) - 1
-        return arr[pos] == vals
-
-    # ---- phase 2: band shuffle over colliding rows only -------------------
-    # Size-gated signature transport: while the signature table fits the
-    # broadcast cap, ship it ONCE as a hash-indexed blob (idh-sorted sig16
-    # matrix + ids; one zero-copy plasma object per node) and emit ~40 B
-    # band rows (band, bh, idh, simhash, cmask, pkey) — measured ~9x fewer
-    # bytes through the sort exchange than inline sig16 + id strings.
-    # Beyond the cap, signatures ride inline (nothing node-sized exists at
-    # 10^12 rows).
-    n_rows_slim = signed_slim.count()
-    use_bcast = n_rows_slim <= lsh_cfg.sig_broadcast_cap
-    sig_store_ref = None
-    if use_bcast:
-        import pandas as _pd
-
-        np_ = sig_cfg.num_perms
-
-        def to_store_rows(t: pa.Table) -> pa.Table:
-            # sig16 + id-hash computed on workers; the driver only
-            # concatenates and sorts
-            ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
-            sigs_b = sigs_to_matrix(t.column("minhash").to_pylist(), np_)
-            s16 = np.ascontiguousarray((sigs_b & np.uint32(0xFFFF)).astype(np.uint16))
-            sig_arr = pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(np_ * 2), len(ids_b), [None, pa.py_buffer(s16.tobytes())]
-            )
-            return pa.table(
-                {
-                    "idh": pa.array(
-                        _pd.util.hash_array(ids_b, categorize=False), pa.uint64()
-                    ),
-                    "sig": sig_arr,
-                    "id": t.column("id"),
-                }
-            )
-
-        idh_parts, sig_parts, id_parts = [], [], []
-        for b in (
-            signed_slim.select_columns(["id", "minhash"])
-            .map_batches(to_store_rows, batch_format="pyarrow", batch_size=8192)
-            .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
-        ):
-            idh_parts.append(b.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64))
-            sig_parts.append(sig16_matrix(b.column("sig"), sig_cfg.num_perms).copy())
-            id_parts.append(np.asarray(b.column("id").to_pylist(), dtype=object))
-        idh_all = np.concatenate(idh_parts)
-        order = np.argsort(idh_all, kind="stable")
-        sig_store_ref = ray.put(
-            (
-                idh_all[order],
-                np.ascontiguousarray(np.vstack(sig_parts)[order]),
-                np.concatenate(id_parts)[order],
-            )
-        )
-
-    SLIM_BAND_SCHEMA = pa.schema(
-        [
-            ("band", pa.int32()),
-            ("bh", pa.uint64()),
-            ("idh", pa.uint64()),
-            ("simhash", pa.uint64()),
-            ("cmask", pa.uint64()),
-            ("pkey", pa.int32()),
-        ]
+    return _banded_pairs(
+        signed_slim,
+        sig_cfg,
+        lsh_cfg,
+        tau,
+        num_partitions,
+        dedup_pairs,
+        hot_ref,
+        sig_store_ref,
+        use_bcast=use_bcast,
     )
 
-    def emit_with_pkey_slim(t: pa.Table) -> pa.Table:
-        import pandas as _pd
 
-        n = t.num_rows
-        if n == 0:
-            return SLIM_BAND_SCHEMA.empty_table()
-        if hot_ref not in _WORKER_HOT_CACHE:
-            _WORKER_HOT_CACHE.clear()
-            _WORKER_HOT_CACHE[hot_ref] = ray.get(hot_ref)
-        hot_struct_w, capped_w = _WORKER_HOT_CACHE[hot_ref]
-        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
-        bh = band_hashes(sigs, bands, rows)  # (n, bands)
-        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
-        bh_flat = bh.reshape(-1)
-        comb = _smx(bh_flat ^ _smx(band_idx.astype(np.uint64)))
-        capped_bits = _in_sorted(capped_w, comb).reshape(-1, bands)
-        cm = np.bitwise_or.reduce(
-            capped_bits.astype(np.uint64) << np.arange(bands, dtype=np.uint64), axis=1
-        )
-        ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
-        idh_b = _pd.util.hash_array(ids_b, categorize=False)
-        sim_b = t.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = _member(hot_struct_w, comb)
-        rep = np.repeat(np.arange(n, dtype=np.int64), bands)[keep]
-        return pa.table(
-            {
-                "band": pa.array(band_idx[keep].astype(np.int32), pa.int32()),
-                "bh": pa.array(bh_flat[keep], pa.uint64()),
-                "idh": pa.array(idh_b[rep], pa.uint64()),
-                "simhash": pa.array(sim_b[rep], pa.uint64()),
-                "cmask": pa.array(cm[rep], pa.uint64()),
-                "pkey": pa.array(
-                    (bh_flat[keep] & np.uint64(num_partitions - 1)).astype(np.int32),
-                    pa.int32(),
-                ),
-            },
-            schema=SLIM_BAND_SCHEMA,
-        )
+def _banded_pairs(
+    signed_slim: ray.data.Dataset,
+    sig_cfg: SignatureConfig,
+    lsh_cfg: LSHConfig,
+    tau: float,
+    num_partitions: int,
+    dedup_pairs: bool,
+    hot_ref,
+    sig_store_ref,
+    use_bcast: bool,
+) -> ray.data.Dataset:
+    """Phase 2 of candidate generation: band shuffle over hot-bucket rows
+    only (slim rows + broadcast store under the cap, inline sig16 above),
+    then in-partition verification + canonical emission."""
+    bands = sig_cfg.bands
+    emit = make_band_emitter(sig_cfg)
 
     def emit_with_pkey(t: pa.Table) -> pa.Table:
         bt = emit(t)
@@ -603,7 +725,7 @@ def candidate_pairs(
             hot_struct_w, capped_w = _WORKER_HOT_CACHE[hot_ref]
             bnd = bt["band"].to_numpy(zero_copy_only=False).astype(np.int64)
             bhv = bt["bh"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            comb = _smx(bhv ^ _smx(bnd.astype(np.uint64)))
+            comb = _hash_combine(bnd, bhv)
             # per-row bitmask of capped bands (band rows are row-major:
             # row0 band0..b-1, row1 band0..b-1, ...)
             capped_bits = _in_sorted(capped_w, comb).reshape(-1, bands)
@@ -624,7 +746,9 @@ def candidate_pairs(
         return bt.append_column("pkey", pkey)
 
     bands_ds = signed_slim.map_batches(
-        emit_with_pkey_slim if use_bcast else emit_with_pkey,
+        _make_slim_band_emitter(sig_cfg, num_partitions, hot_ref=hot_ref)
+        if use_bcast
+        else emit_with_pkey,
         batch_format="pyarrow",
         batch_size=4096,
     )

@@ -131,6 +131,13 @@ def attach_pair_contents(
             return t.filter(pa.array([i in want for i in t[id_col].to_pylist()]))
 
         sub = content.map_batches(grab, batch_format="pyarrow").to_pandas()
+        # a pair with an endpoint absent from the content table is DROPPED —
+        # the same semantics as the distributed path's inner joins below
+        # (ADVICE r2: the driver path used to raise a bare KeyError here,
+        # flipping behavior at driver_cap)
+        present = set(sub[id_col])
+        keep = pdf["id_a"].isin(present) & pdf["id_b"].isin(present)
+        pdf = pdf[keep]
         maps = {c: dict(zip(sub[id_col], sub[c])) for c in value_cols}
         cols = {c: pdf[c].to_numpy() for c in pdf.columns}
         out = pa.table(

@@ -169,6 +169,49 @@ def test_megacluster_sample_detects_over_threshold():
     assert set(out["classification"].to_pylist()) == {DISTINCT}
 
 
+def _drift_sigs(m):
+    """base rep + three member types forming a metric 'path': T1 (slots
+    0-18), T1.5 (5-23), T2 (10-28).  Every ADJACENT pair (the stride
+    sample at n_strides=1) is <= tau, every d_rep = 0.148 is in the
+    inconclusive band (tau/2, tau], but any T1-T2 pair differs in 29
+    slots = 0.227 > tau — a violation the sample cannot see."""
+    sigs = [make_sig()]
+    half = m // 2
+    for i in range(1, m):
+        if i < half:
+            lo = 0  # T1
+        elif i == half:
+            lo = 5  # T1.5 bridge keeps adjacent pairs <= tau
+        else:
+            lo = 10  # T2
+        sigs.append(make_sig(list(range(lo, lo + 19)), tag=i))
+    return sigs
+
+
+def test_megacluster_unsampled_violation_not_all_duplicates():
+    # ADVICE r2 (medium): a clean stride sample must NOT prove Case 2 —
+    # the blocked exact all-pairs pass finds the unsampled T1-T2
+    # violation and routes the cluster to Case 5 instead of silently
+    # marking real non-duplicates DUPLICATE.
+    m = 4106
+    ids = [f"m{i:05d}" for i in range(m)]
+    out = classify(group_table(ids, _drift_sigs(m)))
+    assert set(out["decision_category"].to_pylist()) == {COINF}
+    assert set(out["classification"].to_pylist()) == {DISTINCT}
+
+
+def test_megacluster_over_budget_falls_through_conservatively(monkeypatch):
+    # past the exact-pair budget, an inconclusive Case 2 is decided False
+    # (conservative: keeps extra rows, never drops non-duplicates)
+    import lasvdedup_ray.stages.classify as mod
+
+    monkeypatch.setattr(mod, "CASE2_EXACT_PAIR_BUDGET", 0)
+    m = 4106
+    ids = [f"m{i:05d}" for i in range(m)]
+    out = classify(group_table(ids, _drift_sigs(m)))
+    assert set(out["decision_category"].to_pylist()) == {COINF}
+
+
 def test_rank_tiebreak_on_id():
     # equal len-distance and selection => id ascending wins (the value-based
     # total order replacing the reference's insertion-order min())

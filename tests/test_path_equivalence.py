@@ -41,9 +41,13 @@ def test_broadcast_and_inline_transport_same_pairs(signed_corpus):
         df = candidate_pairs(slim, cfg.signature, lsh_cfg, tau=emit_tau).to_pandas()
         return set(zip(df["id_a"], df["id_b"]))
 
-    bcast = pairset(cfg.lsh)  # 300 rows << sig_broadcast_cap
+    # default: broadcast store + driver-side hot sets (300 rows is under
+    # both caps); force the distributed hot-prefilter pass and the inline
+    # signature transport and pin all three plans to the same pair set
+    default = pairset(cfg.lsh)
+    dist_hot = pairset(dataclasses.replace(cfg.lsh, hot_driver_cap=0))
     inline = pairset(dataclasses.replace(cfg.lsh, sig_broadcast_cap=0))
-    assert bcast == inline and len(bcast) > 0
+    assert default == dist_hot == inline and len(default) > 0
 
 
 def _canon_results(ds) -> pd.DataFrame:

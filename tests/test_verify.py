@@ -86,3 +86,29 @@ def test_no_borderline_short_circuit(fixture_data):
     )
     out = verify_pairs(pairs, content, SIG, LSHConfig(), tau=TAU).take_all()
     assert [(r["id_a"], r["id_b"]) for r in out] == [("e", "f")]
+
+
+@pytest.mark.parametrize("cap", [5000, 0])  # driver path / forced distributed path
+def test_attach_pair_contents_drops_missing_ids_both_paths(fixture_data, cap):
+    # ADVICE r2: the driver path used to raise a bare KeyError for a pair
+    # endpoint absent from the content table, while the distributed path's
+    # inner joins silently dropped the pair — semantics must not flip at
+    # driver_cap.  Both paths now DROP such pairs.
+    from lasvdedup_ray.stages.verify import attach_pair_contents
+
+    _, content = fixture_data
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(["a", "ghost"], pa.string()),
+                "id_b": pa.array(["b", "b"], pa.string()),
+                "est_distance": pa.array([0.1, 0.1], pa.float64()),
+            },
+            schema=PAIR_SCHEMA,
+        )
+    )
+    out = attach_pair_contents(
+        pairs, content, num_partitions=4, driver_cap=cap
+    ).take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {("a", "b")}
+    assert all("content_a" in r and "content_b" in r for r in out)
