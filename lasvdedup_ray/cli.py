@@ -63,6 +63,19 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="per-run log file (reference setup_logging, "
                              "determine_duplicates.py:22-50)")
         sp.add_argument("--log-level", default="INFO")
+        sp.add_argument("--force", action="store_true",
+                        help="recompute every checkpointed stage even if a "
+                             "completed checkpoint exists (reference "
+                             "--force/forceall, pipeline.py:26,74)")
+        sp.add_argument("--dry-run", action="store_true",
+                        help="print the stage plan + checkpoint resume "
+                             "status as JSON and exit without executing "
+                             "(reference run_pipeline dry_run, "
+                             "pipeline.py:9-83)")
+        sp.add_argument("--print-config", action="store_true",
+                        help="print the effective layered config as JSON "
+                             "(copy-editable; feed back via --config) and "
+                             "exit")
 
     add_common(sub.add_parser("run", help="full pipeline: read -> dedup -> write"))
     add_common(sub.add_parser("deduplicate", help="alias of run (analytical core)"))
@@ -110,6 +123,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cfg = build_config(args.config, _overrides_from_args(args))
 
+    if args.print_config:
+        from .config_io import config_to_dict
+
+        print(json.dumps(config_to_dict(cfg), indent=2, default=list))
+        return 0
+
     import ray
 
     if not ray.is_initialized():
@@ -124,7 +143,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from .pipelines.dedup import dedup_pipeline, write_results
+    from .pipelines.dedup import dedup_pipeline, plan_stages, write_results
     from .sources.io import (
         setup_logging,
         write_annotation_tsv,
@@ -135,6 +154,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     setup_logging(args.log_level, args.log_file)
 
     ds = ray.data.read_parquet(args.input)
+
+    if args.dry_run:
+        print(json.dumps({"dry_run": True, "plan": plan_stages(ds, cfg)}))
+        ray.shutdown()
+        return 0
     rank_table = None
     if args.rank_table:
         rank_table = (
@@ -148,6 +172,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         num_partitions=args.num_partitions,
         rank_table=rank_table,
         edges_out=args.edges_out,
+        force=args.force,
     ).materialize()
     write_results(results, args.output)
     summary = {

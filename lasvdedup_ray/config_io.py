@@ -120,7 +120,33 @@ def build_config(
                 base = lt.get(lang, cfg.default_thresholds)
                 lt[lang] = _replace_known(base, th)
             cfg = dataclasses.replace(cfg, lang_thresholds=lt)
-        for key in ("selection_columns", "checkpoint_dir", "exact_first"):
+        for key in (
+            "selection_columns",
+            "checkpoint_dir",
+            "exact_first",
+            "rank_miss_policy",
+            "group_regex",
+        ):
             if key in layer:
                 cfg = dataclasses.replace(cfg, **{key: layer[key]})
     return cfg
+
+
+def config_to_dict(cfg: PipelineConfig) -> Dict[str, Any]:
+    """Effective config in the same nested shape ``build_config`` consumes
+    — ``--print-config`` output can be saved and passed back via
+    ``--config`` (the reference ships a packaged config.yaml for users to
+    copy-edit; this is the equivalent self-describing surface)."""
+    d = dataclasses.asdict(cfg)
+    return {
+        "signature": d["signature"],
+        "lsh": d["lsh"],
+        "execution": d["execution"],
+        "thresholds": d["default_thresholds"],
+        "lang_thresholds": d["lang_thresholds"],
+        "selection_columns": list(d["selection_columns"]),
+        "checkpoint_dir": d["checkpoint_dir"],
+        "exact_first": d["exact_first"],
+        "rank_miss_policy": d["rank_miss_policy"],
+        "group_regex": d["group_regex"],
+    }

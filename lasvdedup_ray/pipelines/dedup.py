@@ -48,6 +48,38 @@ def candidate_tau(config: PipelineConfig) -> float:
     return max(taus)
 
 
+def _input_fingerprint(n_rows: int, schema_names, config: PipelineConfig) -> str:
+    """(input row count + columns, full config repr) — a stage checkpoint
+    from a different input/config is recomputed, never reused."""
+    import hashlib as _hashlib
+
+    return _hashlib.sha256(
+        f"{n_rows}|{sorted(schema_names)}|{config!r}".encode()
+    ).hexdigest()[:16]
+
+
+def plan_stages(
+    ds: ray.data.Dataset, config: Optional[PipelineConfig] = None
+) -> list:
+    """Dry-run plan (the reference's ``run_pipeline(..., dry_run)``,
+    ``lasvdedup/pipeline.py:9-83``): the ordered stage list with each
+    checkpointable stage's resume status — nothing executes beyond the
+    input's metadata row count."""
+    config = config or PipelineConfig()
+    fp = _input_fingerprint(ds.count(), ds.schema().names, config)
+    ck = StageCheckpointer(config.checkpoint_dir, fingerprint=fp)
+    pinned = (
+        ["prepared", "signed"] if config.exact_first else ["signed", "reps"]
+    )
+    plan = []
+    for name in pinned:
+        status = ck.status(name) if config.checkpoint_dir else "no checkpoint_dir"
+        plan.append({"stage": name, "checkpoint": status})
+    for name in ("candidates", "verify", "cluster", "classify"):
+        plan.append({"stage": name, "checkpoint": "always runs"})
+    return plan
+
+
 def dedup_pipeline(
     ds: ray.data.Dataset,
     config: Optional[PipelineConfig] = None,
@@ -55,6 +87,7 @@ def dedup_pipeline(
     force_distributed_components: bool = False,
     rank_table: Optional[ray.data.Dataset] = None,
     edges_out: Optional[str] = None,
+    force: bool = False,
 ) -> ray.data.Dataset:
     """Full dedup: returns the classification Dataset (RESULT_SCHEMA:
     id, cluster_id, classification, decision_category, is_representative,
@@ -77,15 +110,10 @@ def dedup_pipeline(
             f"(repo, path, commit, lang, content)"
         )
     ex = config.execution
-    # fingerprint = (input row count + columns, full config repr): a stage
-    # checkpoint from a different input/config is recomputed, never reused
     n_rows_in = ds.count()
-    import hashlib as _hashlib
-
-    fp = _hashlib.sha256(
-        f"{n_rows_in}|{sorted(schema_names)}|{config!r}".encode()
-    ).hexdigest()[:16]
-    ck = StageCheckpointer(config.checkpoint_dir, fingerprint=fp)
+    fp = _input_fingerprint(n_rows_in, schema_names, config)
+    # force (reference --force/forceall): recompute every pinned stage
+    ck = StageCheckpointer(config.checkpoint_dir, fingerprint=fp, force=force)
     tau = candidate_tau(config)
     emit_tau = tau + (config.lsh.exact_margin if config.lsh.exact_verify else 0.0)
 
@@ -158,20 +186,26 @@ def dedup_pipeline(
 
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
         meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
-        reps_slim = ck.pin(
-            exact_representatives(
+        # ONE sha shuffle yields both the per-sha representatives and the
+        # zero-distance star edges (two separate groupbys before r3)
+        from ..stages.exact import exact_collapse, fused_edges, fused_reps
+
+        fused = ck.pin(
+            exact_collapse(
                 signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
             ),
             "reps",
         )
-        e_edges = exact_dup_edges(signed.select_columns(["sha_hex", "id"]))
+        reps_slim = fused_reps(fused)
+        n_reps = reps_slim.count()  # cheap filter pass over pinned fused
+        e_edges = fused_edges(fused)
         near_edges = verify_pairs(
             candidate_pairs(
                 reps_slim.select_columns(["id", "minhash", "simhash"]),
                 config.signature,
                 config.lsh,
                 tau=emit_tau,
-                n_rows_hint=reps_slim.count(),  # pinned upstream: metadata count
+                n_rows_hint=n_reps,
             ),
             signed.select_columns(["id", "content"]),
             config.signature,

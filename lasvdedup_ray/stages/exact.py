@@ -67,6 +67,118 @@ def exact_representatives(prepared: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+FUSED_SCHEMA = pa.schema(
+    [
+        ("kind", pa.int8()),  # 0 = representative row, 1 = star edge row
+        ("id", pa.string()),
+        ("sha_hex", pa.string()),
+        ("minhash", pa.large_binary()),
+        ("simhash", pa.uint64()),
+        ("id_a", pa.string()),
+        ("id_b", pa.string()),
+    ]
+)
+
+
+def exact_collapse(signed_slim: ray.data.Dataset) -> ray.data.Dataset:
+    """ONE sha shuffle producing both the per-sha representative rows
+    (kind=0: id, sha_hex, minhash, simhash) and the rep--member star edges
+    (kind=1: id_a, id_b).  ``exact_representatives`` + ``exact_dup_edges``
+    each shuffled the same keys separately — at the flagship's scale the
+    second exchange was pure overhead.  Callers filter the (materialized)
+    fused output by ``kind``."""
+
+    def emit_fused(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return FUSED_SCHEMA.empty_table()
+        g = g.drop_columns(["pkey"])
+        order, first = _sha_sort(g)
+        take = pa.array(order[first], pa.int64())
+        reps = g.take(take)
+        n_reps = reps.num_rows
+        ids = np.asarray(g.column("id").to_pylist(), dtype=object)[order]
+        group_idx = np.cumsum(first) - 1
+        rep_positions = np.flatnonzero(first)
+        reps_for_row = ids[rep_positions[group_idx]]
+        members_mask = ~first
+        n_edges = int(members_mask.sum())
+        rep_part = pa.table(
+            {
+                "kind": pa.array(np.zeros(n_reps, dtype=np.int8), pa.int8()),
+                "id": pc.cast(reps["id"], pa.string()),
+                "sha_hex": pc.cast(reps["sha_hex"], pa.string()),
+                "minhash": pc.cast(reps["minhash"], pa.large_binary()),
+                "simhash": pc.cast(reps["simhash"], pa.uint64()),
+                "id_a": pa.nulls(n_reps, pa.string()),
+                "id_b": pa.nulls(n_reps, pa.string()),
+            },
+            schema=FUSED_SCHEMA,
+        )
+        if n_edges == 0:
+            return rep_part
+        edge_part = pa.table(
+            {
+                "kind": pa.array(np.ones(n_edges, dtype=np.int8), pa.int8()),
+                "id": pa.nulls(n_edges, pa.string()),
+                "sha_hex": pa.nulls(n_edges, pa.string()),
+                "minhash": pa.nulls(n_edges, pa.large_binary()),
+                "simhash": pa.nulls(n_edges, pa.uint64()),
+                "id_a": pa.array(list(reps_for_row[members_mask]), pa.string()),
+                "id_b": pa.array(list(ids[members_mask]), pa.string()),
+            },
+            schema=FUSED_SCHEMA,
+        )
+        return pa.concat_tables([rep_part, edge_part])
+
+    return (
+        signed_slim.map_batches(_add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(emit_fused, batch_format="pyarrow")
+    )
+
+
+def fused_reps(fused: ray.data.Dataset) -> ray.data.Dataset:
+    """kind=0 slice of ``exact_collapse`` output -> (id, sha_hex, minhash,
+    simhash)."""
+    return fused.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(
+            ["id", "sha_hex", "minhash", "simhash"]
+        )
+        if "kind" in t.column_names
+        else pa.schema(
+            [
+                ("id", pa.string()),
+                ("sha_hex", pa.string()),
+                ("minhash", pa.large_binary()),
+                ("simhash", pa.uint64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def fused_edges(fused: ray.data.Dataset) -> ray.data.Dataset:
+    """kind=1 slice of ``exact_collapse`` output -> zero-distance star
+    edges in PAIR_SCHEMA."""
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        if "kind" not in t.column_names:
+            return PAIR_SCHEMA.empty_table()
+        e = t.filter(pc.equal(t["kind"], 1))
+        return pa.table(
+            {
+                "id_a": pc.cast(e["id_a"], pa.string()),
+                "id_b": pc.cast(e["id_b"], pa.string()),
+                "est_distance": pa.array(
+                    np.zeros(e.num_rows, dtype=np.float64), pa.float64()
+                ),
+            },
+            schema=PAIR_SCHEMA,
+        )
+
+    return fused.map_batches(to_pairs, batch_format="pyarrow")
+
+
 def exact_dup_edges(prepared_slim: ray.data.Dataset) -> ray.data.Dataset:
     """(sha_hex, id) -> star edges rep--member with distance 0 (slim
     shuffle: only ids + hashes move)."""

@@ -36,6 +36,7 @@ from .signatures import sigs_to_matrix
 # the hash-indexed signature store) — ray.get once per worker, not per batch
 _WORKER_HOT_CACHE: dict = {}
 _WORKER_SIG_CACHE: dict = {}
+_WORKER_BLOCK_CACHE: dict = {}
 
 
 def _cluster_cpus(default: int = 8) -> int:
@@ -173,23 +174,14 @@ def _member(struct, comb: np.ndarray) -> np.ndarray:
     return ok
 
 
-def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
-    """Assemble the broadcast signature store: one idh-sorted (idh, sig16,
-    ids) blob in plasma (``ray.put`` once; zero-copy reads, one physical
-    copy per node).  Returns ``(store_ref, sig16_matrix)`` — the matrix is
-    handed back so the caller can derive the hot/capped bucket sets
-    driver-side without a second distributed pass.  Returns ``(None,
-    None)`` on a 64-bit id-hash collision between two distinct ids (ADVICE
-    r2: searchsorted would silently resolve both to one signature and emit
-    pairs with wrong ids) — callers must then fall back to inline
-    signature transport."""
+def _make_store_row_fn(sig_cfg: SignatureConfig):
+    """map_batches fn: (id, minhash) -> (idh, sig16-binary, id) store rows;
+    the sig16 + id-hash are computed on workers."""
     import pandas as _pd
 
     np_ = sig_cfg.num_perms
 
     def to_store_rows(t: pa.Table) -> pa.Table:
-        # sig16 + id-hash computed on workers; the driver only
-        # concatenates and sorts
         ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
         sigs_b = sigs_to_matrix(t.column("minhash").to_pylist(), np_)
         s16 = np.ascontiguousarray((sigs_b & np.uint32(0xFFFF)).astype(np.uint16))
@@ -206,10 +198,113 @@ def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
             }
         )
 
+    return to_store_rows
+
+
+@ray.remote(num_cpus=0)
+def _block_bounds(tbl: pa.Table):
+    """(first_idh, last_idh, num_rows, has_internal_dup) of one sorted
+    store block — runs where the block lives; ships 4 scalars back."""
+    n = tbl.num_rows
+    if n == 0:
+        return (0, 0, 0, False)
+    idh = tbl.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dup = bool(np.any(idh[1:] == idh[:-1])) if n > 1 else False
+    return (int(idh[0]), int(idh[-1]), n, dup)
+
+
+def _build_sig_store_blocks(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
+    """Distributed broadcast-store assembly (VERDICT r2 #7): an idh sort
+    SHUFFLE orders the store rows, the blocks stay in plasma, and the
+    driver holds only (first-idh boundaries, block refs) — it never
+    concatenates the signature matrix (the blob builder costs ~800 MB of
+    driver RAM + a serial collect pass at the 3M-row cap).  Workers
+    resolve an idh by boundary searchsorted -> zero-copy block read ->
+    in-block searchsorted.  Returns None on an id-hash collision (same
+    inline fallback as the blob builder)."""
+    sorted_ds = (
+        signed_slim.select_columns(["id", "minhash"])
+        .map_batches(_make_store_row_fn(sig_cfg), batch_format="pyarrow", batch_size=8192)
+        .sort("idh")
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+    bounds = ray.get([_block_bounds.remote(r) for r in refs])
+    firsts, lasts, kept_refs = [], [], []
+    for (f, l, n, dup), r in zip(bounds, refs):
+        if n == 0:
+            continue
+        if dup:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "id-hash collision in block signature store: falling back "
+                "to inline signature transport"
+            )
+            return None
+        firsts.append(f)
+        lasts.append(l)
+        kept_refs.append(r)
+    if not kept_refs:
+        return None
+    firsts_np = np.asarray(firsts, dtype=np.uint64)
+    lasts_np = np.asarray(lasts, dtype=np.uint64)
+    if np.any(lasts_np[:-1] == firsts_np[1:]):  # cross-block boundary dup
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "id-hash collision at a block boundary: falling back to inline "
+            "signature transport"
+        )
+        return None
+    return ray.put(("blocks", firsts_np, kept_refs))
+
+
+def _resolve_from_blocks(store, idh_vals: np.ndarray, num_perms: int):
+    """Worker-side lookup against the block store: per-block zero-copy
+    decode (cached per worker process), searchsorted within."""
+    _, firsts, refs = store
+    n = len(idh_vals)
+    sigs = np.empty((n, num_perms), dtype=np.uint16)
+    ids = np.empty(n, dtype=object)
+    bidx = np.searchsorted(firsts, idh_vals, side="right") - 1
+    bidx[bidx < 0] = 0
+    for b in np.unique(bidx):
+        ref = refs[int(b)]
+        key = ref.hex()
+        if key not in _WORKER_BLOCK_CACHE:
+            tbl = ray.get(ref)
+            _WORKER_BLOCK_CACHE[key] = (
+                tbl.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64),
+                sig16_matrix(tbl.column("sig"), num_perms),
+                np.asarray(tbl.column("id").to_pylist(), dtype=object),
+            )
+        idh_b, sig_b, ids_b = _WORKER_BLOCK_CACHE[key]
+        mask = bidx == b
+        pos = np.searchsorted(idh_b, idh_vals[mask])
+        pos[pos >= len(idh_b)] = len(idh_b) - 1
+        sigs[mask] = sig_b[pos]
+        ids[mask] = ids_b[pos]
+    return sigs, ids
+
+
+def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
+    """Assemble the broadcast signature store: one idh-sorted (idh, sig16,
+    ids) blob in plasma (``ray.put`` once; zero-copy reads, one physical
+    copy per node).  Returns ``(store_ref, sig16_matrix)`` — the matrix is
+    handed back so the caller can derive the hot/capped bucket sets
+    driver-side without a second distributed pass.  Returns ``(None,
+    None)`` on a 64-bit id-hash collision between two distinct ids (ADVICE
+    r2: searchsorted would silently resolve both to one signature and emit
+    pairs with wrong ids) — callers must then fall back to inline
+    signature transport."""
+    np_ = sig_cfg.num_perms
     idh_parts, sig_parts, id_parts = [], [], []
     for b in (
         signed_slim.select_columns(["id", "minhash"])
-        .map_batches(to_store_rows, batch_format="pyarrow", batch_size=8192)
+        .map_batches(
+            _make_store_row_fn(sig_cfg), batch_format="pyarrow", batch_size=8192
+        )
         .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
     ):
         idh_parts.append(b.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64))
@@ -232,6 +327,7 @@ def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
     sig16_sorted = np.ascontiguousarray(np.vstack(sig_parts)[order])
     ref = ray.put(
         (
+            "blob",
             idh_sorted,
             sig16_sorted,
             np.concatenate(id_parts)[order],
@@ -365,14 +461,22 @@ def make_partition_pair_emitter(
             cmask = np.zeros(m, dtype=np.uint64)
         if sig_store_ref is not None and "idh" in g.column_names:
             # broadcast-signature mode: resolve sigs + ids from the shared
-            # hash-indexed store (one plasma object per node, zero-copy)
+            # hash-indexed store (one plasma object per node, zero-copy).
+            # Two layouts: ("blob", idh, sig, ids) — driver-assembled under
+            # hot_driver_cap — and ("blocks", boundaries, refs) — the
+            # distributed sort assembly (VERDICT r2 #7).
             if sig_store_ref not in _WORKER_SIG_CACHE:
                 _WORKER_SIG_CACHE.clear()
                 _WORKER_SIG_CACHE[sig_store_ref] = ray.get(sig_store_ref)
-            IDH, SIG, IDS = _WORKER_SIG_CACHE[sig_store_ref]
-            pos = np.searchsorted(IDH, g.column("idh").to_numpy(zero_copy_only=False))
-            sigs = SIG[pos]
-            ids = IDS[pos]
+            store = _WORKER_SIG_CACHE[sig_store_ref]
+            idh_vals = g.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64)
+            if store[0] == "blocks":
+                sigs, ids = _resolve_from_blocks(store, idh_vals, num_perms)
+            else:
+                _, IDH, SIG, IDS = store
+                pos = np.searchsorted(IDH, idh_vals)
+                sigs = SIG[pos]
+                ids = IDS[pos]
         else:
             ids = np.asarray(g.column("id").to_pylist(), dtype=object)
             sigs = sig16_matrix(g.column("sig16"), num_perms)
@@ -566,11 +670,18 @@ def candidate_pairs(
 
     # ---- phase 0: signature transport ------------------------------------
     # While the table fits the broadcast cap, ship signatures ONCE as a
-    # hash-indexed blob; band rows shrink to ~40 B (measured ~9x fewer
+    # hash-indexed store; band rows shrink to ~40 B (measured ~9x fewer
     # bytes through the sort exchange than inline sig16 + id strings).
+    # Under hot_driver_cap the store is a driver-assembled blob (the sig16
+    # matrix doubles as the hot-set source below); above it the assembly
+    # is a distributed idh sort whose blocks stay in plasma — the driver
+    # never holds the matrix (VERDICT r2 #7).
     sig_store_ref = sig16_drv = None
     if n_rows_slim <= lsh_cfg.sig_broadcast_cap:
-        sig_store_ref, sig16_drv = _build_sig_store(signed_slim, sig_cfg)
+        if n_rows_slim <= lsh_cfg.hot_driver_cap:
+            sig_store_ref, sig16_drv = _build_sig_store(signed_slim, sig_cfg)
+        else:
+            sig_store_ref = _build_sig_store_blocks(signed_slim, sig_cfg)
     use_bcast = sig_store_ref is not None
 
     # ---- phase 1: hot/capped bucket sets ---------------------------------

@@ -243,10 +243,13 @@ def verify_pairs(
         _safe_filter(lambda t: pc.less_equal(t["est_distance"], tau - m)),
         batch_format="pyarrow",
     )
+    # border stays LAZY over the materialized pairs: each re-read is a
+    # cheap filter pass, and skipping the second materialize removes an
+    # object-store write + pipeline barrier (VERDICT r2 #5)
     border = pairs.map_batches(
         _safe_filter(lambda t: pc.greater(t["est_distance"], tau - m)),
         batch_format="pyarrow",
-    ).materialize()
+    )
     n_border = border.count()
     if n_border == 0:
         return sure

@@ -23,15 +23,21 @@ import ray.data
 
 class StageCheckpointer:
     def __init__(
-        self, checkpoint_dir: Optional[str] = None, fingerprint: Optional[str] = None
+        self,
+        checkpoint_dir: Optional[str] = None,
+        fingerprint: Optional[str] = None,
+        force: bool = False,
     ):
         """``fingerprint`` identifies the (input, config) pair: a stage
         pinned under a different fingerprint is RECOMPUTED, not reused
         (ADVICE r1: name-only keys silently served stale stages after the
         input or thresholds changed — Snakemake, the stated model,
-        invalidates on input change)."""
+        invalidates on input change).  ``force`` (the reference's
+        ``--force``/``forceall``, pipeline.py:26,74) ignores every
+        completed manifest entry: all stages recompute and overwrite."""
         self.dir = checkpoint_dir
         self.fp = fingerprint
+        self.force = force
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
         self._manifest_path = os.path.join(self.dir, "manifest.json") if self.dir else None
@@ -50,7 +56,21 @@ class StageCheckpointer:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic
 
+    def status(self, name: str) -> str:
+        """Dry-run probe: "cached" (reusable), "stale" (fingerprint
+        mismatch -> recompute), "forced" (force re-run), or "missing"."""
+        entry = self._manifest().get(name, {})
+        if not entry.get("done"):
+            return "missing"
+        if self.force:
+            return "forced"
+        if self.fp is not None and entry.get("fingerprint") != self.fp:
+            return "stale"
+        return "cached"
+
     def is_done(self, name: str) -> bool:
+        if self.force:
+            return False
         entry = self._manifest().get(name, {})
         if not entry.get("done"):
             return False

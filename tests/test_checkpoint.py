@@ -85,3 +85,39 @@ def test_pipeline_fingerprint_recomputes_on_new_input(tmp_path):
     b = dedup_pipeline(ray.data.from_arrow(corpus2), cfg, num_partitions=4).count()
     assert a == corpus1.num_rows
     assert b == corpus2.num_rows  # not the stale corpus1 stages
+
+
+def test_force_recomputes_pinned_stage(tmp_path):
+    """--force (reference pipeline.py:26,74): a completed checkpoint is
+    ignored and overwritten instead of reused."""
+    ck = StageCheckpointer(str(tmp_path))
+    ck.pin(ray.data.from_arrow(pa.table({"x": [1, 2, 3]})), "stage_a")
+    forced = StageCheckpointer(str(tmp_path), force=True)
+    assert not forced.is_done("stage_a")
+    assert forced.status("stage_a") == "forced"
+    out = forced.pin(ray.data.from_arrow(pa.table({"x": [9, 9]})), "stage_a").to_pandas()
+    assert sorted(out["x"]) == [9, 9]  # recomputed, not the cached [1,2,3]
+    # and the overwrite is durable: a fresh non-force checkpointer reads it
+    again = StageCheckpointer(str(tmp_path)).pin(
+        ray.data.from_arrow(pa.table({"x": [0]})), "stage_a"
+    ).to_pandas()
+    assert sorted(again["x"]) == [9, 9]
+
+
+def test_plan_stages_dry_run(tmp_path):
+    """Dry-run plan: stage list + per-stage checkpoint status, nothing
+    executed (reference run_pipeline dry_run, pipeline.py:9-83)."""
+    from lasvdedup_ray.pipelines.dedup import plan_stages
+
+    corpus, _ = generate_corpus(CorpusSpec(n_files=60, seed=3))
+    cfg = PipelineConfig(checkpoint_dir=str(tmp_path / "ck"))
+    plan = plan_stages(ray.data.from_arrow(corpus), cfg)
+    stages = [p["stage"] for p in plan]
+    assert stages == ["signed", "reps", "candidates", "verify", "cluster", "classify"]
+    assert all(p["checkpoint"] == "missing" for p in plan[:2])
+    # nothing was executed or written by the dry run
+    assert not os.path.exists(tmp_path / "ck" / "manifest.json")
+    # after a real run the plan reports the pinned stages as cached
+    dedup_pipeline(ray.data.from_arrow(corpus), cfg, num_partitions=4).count()
+    plan2 = plan_stages(ray.data.from_arrow(corpus), cfg)
+    assert all(p["checkpoint"] == "cached" for p in plan2[:2])

@@ -153,3 +153,41 @@ def test_conformance_tsv_rows_match_header(tmp_path, corpus_tables):
     assert all(len(ln.split("\t")) == len(TSV_COLUMNS) for ln in lines[1:])
     ids = [ln.split("\t")[0] for ln in lines[1:]]
     assert ids == sorted(ids) and len(ids) == res.count()
+
+
+def test_cli_print_config_and_dry_run(tmp_path):
+    """--print-config emits the effective layered config (round-trippable
+    via --config); --dry-run prints the stage plan and executes nothing."""
+    from lasvdedup_ray.sources.corpus import CorpusSpec, write_corpus
+
+    corpus = write_corpus(str(tmp_path / "corpus"), CorpusSpec(n_files=20), shards=1)
+    base = [
+        sys.executable, "-m", "lasvdedup_ray", "run",
+        "--input", os.path.join(corpus, "part-00000.parquet"),
+        "--output", str(tmp_path / "out"),
+        "--num-cpus", "2",
+        "--tau", "0.15",
+    ]
+    res = subprocess.run(
+        base + ["--print-config"], capture_output=True, text=True,
+        cwd="/root/repo", timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    cfg = json.loads(res.stdout)
+    assert cfg["thresholds"]["tau"] == 0.15
+    assert cfg["signature"]["num_perms"] == 128
+    # round-trip: the printed config is valid --config input
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    from lasvdedup_ray.config_io import build_config
+
+    assert build_config(str(cfg_path)).default_thresholds.tau == 0.15
+
+    res = subprocess.run(
+        base + ["--dry-run", "--checkpoint-dir", str(tmp_path / "ck")],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    plan = json.loads(res.stdout.strip().splitlines()[-1])
+    assert plan["dry_run"] and [p["stage"] for p in plan["plan"]][:2] == ["signed", "reps"]
+    assert not os.path.exists(tmp_path / "out")  # nothing executed
