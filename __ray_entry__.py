@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_span_pairs": textops.common_span_pairs,
         # similarity search
         "embedding_topk": ann.embedding_topk,
+        "embedding_topk_ivf": ann.embedding_topk_ivf,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         # multimodal plumbing (deterministic synthetic media corpus;
@@ -266,7 +267,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         # minhash_dedup_docs / simhash_near_pairs / embedding_neardup_lsh /
-        # langid_docs / doc_fingerprints / common_span_pairs: sketch-,
-        # heuristic- or LCS-based, not SQL-expressible — rows-only driver
-        # check; pinned by pytest oracles.
+        # embedding_topk_ivf / langid_docs / doc_fingerprints /
+        # common_span_pairs: sketch-, heuristic-, IVF- or LCS-based, not
+        # SQL-expressible — rows-only driver check; pinned by pytest
+        # oracles (embedding_topk_ivf with n_probe == n_centroids is pinned
+        # EQUAL to the exact embedding_topk).
     }

@@ -139,6 +139,138 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> ray.data.Data
     )
 
 
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on L2-normalized sample rows —
+    the IVF coarse quantizer.  Driver-side on a bounded sample only."""
+    rng = np.random.default_rng(seed)
+    n = sample.shape[0]
+    k = min(n_centroids, n)
+    cents = sample[rng.choice(n, size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    return cents
+
+
+def embedding_topk_ivf(
+    sf_dir: str,
+    n_queries: int = 5,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """IVF (inverted-file) approximate top-k: a spherical-kmeans coarse
+    quantizer (trained driver-side on a bounded sample, broadcast once)
+    partitions vectors into ``n_centroids`` cells; each query scans only
+    its ``n_probe`` nearest cells, cutting the scanned fraction to
+    ~n_probe/n_centroids.  The Ray shape matches ``embedding_topk``
+    exactly (broadcast query matrix + per-batch partial top-k + tiny
+    merge) — only the per-batch candidate mask differs.  With
+    ``n_probe == n_centroids`` the result is identical to the exact
+    brute-force top-k (pinned by pytest); at the default probe width it
+    is the approximate scale path (rows-only check)."""
+    import pyarrow.parquet as pq
+
+    # bounded training sample -> centroids (broadcast once)
+    sample_t = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample_rows)
+        .to_pandas()
+    )
+    smat = np.array(list(sample_t["embedding"]), dtype=np.float64)
+    nr = np.linalg.norm(smat, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    cents = _spherical_kmeans(smat / nr, n_centroids, seed)
+
+    # query side: same pruned load as embedding_topk
+    def bottom_ids(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(np.sort(v)[:n_queries], pa.int64())})
+
+    cand = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(bottom_ids, batch_format="pyarrow")
+        .take_all()
+    )
+    query_ids = np.sort(np.asarray([r["vec_id"] for r in cand], dtype=np.int64))[
+        :n_queries
+    ]
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(x) for x in query_ids])],
+    )
+    q_order = np.argsort(np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64))
+    qmat = np.array(qt["embedding"].to_pylist(), dtype=np.float64)[q_order]
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qmat = qmat / qn
+    # per query: the n_probe nearest cells
+    probe = min(n_probe, cents.shape[0])
+    q_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :probe]  # (nq, probe)
+    ref = ray.put((query_ids, qmat, cents, q_cells))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def partial_topk_ivf(t: pa.Table) -> pa.Table:
+        qids, qm, cc, qcells = ray.get(ref)
+        vids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+        cell = np.argmax(mat @ cc.T, axis=1)  # IVF cell per row
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            mask = np.isin(cell, qcells[qi]) & (vids != qids[qi])
+            if not mask.any():
+                continue
+            vv = vids[mask]
+            cos = mat[mask] @ qm[qi]
+            cc_q = _q6(cos)
+            top = min(k, len(vv))
+            sel = np.lexsort((vv, -cc_q))[:top]
+            out_q.extend([qids[qi]] * top)
+            out_v.extend(vv[sel])
+            out_c.extend(cc_q[sel])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine_e6": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    def final_topk(g: pa.Table) -> pa.Table:
+        vv = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
+        cc = np.asarray(g["cosine_e6"].to_pylist(), dtype=np.int64)
+        sel = np.lexsort((vv, -cc))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(sel)),
+                "vec_id": pa.array(vv[sel], pa.int64()),
+                "cosine_e6": pa.array(cc[sel], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial_topk_ivf, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(final_topk, batch_format="pyarrow")
+        .sort(["query_id", "cosine_e6", "vec_id"], descending=[False, True, False])
+    )
+
+
 def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
     """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold):
     block matmul of each batch against the broadcast full matrix."""

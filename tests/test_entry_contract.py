@@ -77,3 +77,25 @@ def test_query_matches_oracle(name, con):
     )
     assert len(ours) == len(theirs), f"{name}: {len(ours)} vs {len(theirs)}"
     pd.testing.assert_frame_equal(ours, theirs, check_dtype=False, atol=0, rtol=0)
+
+
+def test_embedding_topk_ivf_probe_all_equals_exact():
+    """IVF with n_probe == n_centroids scans every cell, so it must equal
+    the exact brute-force top-k bit for bit; the default probe width must
+    keep recall high on the test embeddings (approximate scale path)."""
+    from lasvdedup_ray.pipelines.ann import embedding_topk, embedding_topk_ivf
+
+    exact = canon(embedding_topk(SF_DIR).to_pandas())
+    full_probe = canon(
+        embedding_topk_ivf(SF_DIR, n_centroids=8, n_probe=8).to_pandas()
+    )
+    pd.testing.assert_frame_equal(exact, full_probe)
+
+    # the synthetic embeddings are near-uniform (no real cluster
+    # structure), so partial-probe recall tracks the probe fraction; the
+    # bar is "clearly better than the 3/8 = 0.375 chance level", i.e. the
+    # quantizer routes queries to the right cells
+    approx = embedding_topk_ivf(SF_DIR, n_centroids=8, n_probe=3).to_pandas()
+    hits = set(zip(approx["query_id"], approx["vec_id"]))
+    truth = set(zip(exact["query_id"], exact["vec_id"]))
+    assert len(hits & truth) / len(truth) >= 0.45
