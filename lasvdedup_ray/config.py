@@ -109,7 +109,11 @@ class LSHConfig:
     # fixed serial cost caused the r2 small-scale regression.  Above the
     # cap (or with inline transport) a distributed (band, bh) count pass
     # finds them instead.  Both plans emit identical pair sets (pinned by
-    # tests/test_path_equivalence.py).
+    # tests/test_path_equivalence.py).  Interleaved A/B at 540k reps
+    # (repeat minima, the only sound comparison on this high-variance box)
+    # measured driver-hot 31.0 s vs distributed 35.0 s, so the driver pass
+    # wins through the whole broadcast range; the cap bounds driver RAM
+    # (~8 B * rows * bands transient for the unique) rather than time.
     hot_driver_cap: int = 1_000_000
     # hot-bucket key set: collected exactly (sorted uint64 array) while the
     # distinct colliding-key count fits this cap; above it, a fixed-size
