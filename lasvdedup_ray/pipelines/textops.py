@@ -402,11 +402,12 @@ def ngram_jaccard_pairs(
 
         def jaccard_bcast(t: pa.Table) -> pa.Table:
             if "inter" not in t.column_names or t.num_rows == 0:
+                # must match quantize()'s output schema exactly: the float
+                # jaccard column is REPLACED by jaccard_e6
                 return pa.table(
                     {
                         "id_a": pa.array([], pa.int64()),
                         "id_b": pa.array([], pa.int64()),
-                        "jaccard": pa.array([], pa.float64()),
                         "jaccard_e6": pa.array([], pa.int64()),
                     }
                 )
