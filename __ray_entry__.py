@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_stats": relational.supplier_balance_stats,
         # text analysis / quality
         "doc_stats": textops.doc_stats,
+        "token_counts_docs": textops.token_counts_docs,
         "lang_quality_summary": textops.lang_quality_summary,
         "quality_filter": textops.quality_filter,
         "langid_docs": textops.langid_docs,
@@ -164,6 +165,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(s_acctbal) * 10000) AS BIGINT) AS avg_bal_e4,
                    count(*) AS n_suppliers
             FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
+        "token_counts_docs": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
         """,
         "doc_stats": f"""
             SELECT doc_id,

@@ -17,10 +17,21 @@ import pyarrow.compute as pc
 
 from .hashing import U64, shingle_hashes, splitmix64
 
-# word-ish tokens: identifiers/numbers — the "BPE-ish" cheap tokenizer
+# word-ish tokens: identifiers/numbers — the cheap whitespace-ish tokenizer
 TOKEN_REGEX = r"[A-Za-z0-9_]+"
 _TOKEN_RE = re.compile(TOKEN_REGEX)
 PUNCT_REGEX = r"[.,;:!?]"
+# GPT-2-style BPE pre-tokenizer pattern (contraction suffixes, space-glued
+# letter/digit/symbol runs, whitespace runs), restricted to RE2 syntax (no
+# lookahead) and ASCII classes — both pyarrow's count_substring_regex and
+# DuckDB's regexp_extract_all run RE2, so the SQL oracle counts the SAME
+# matches
+BPE_TOKEN_REGEX = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_counts(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """BPE-ish token count per string — one vectorized RE2 pass."""
+    return pc.count_substring_regex(col, BPE_TOKEN_REGEX)
 
 # tiny per-language stopword lexicons for the n-gram/stopword language-ID
 # heuristic (public common-word lists)

@@ -52,6 +52,26 @@ def doc_stats(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
+def token_counts_docs(sf_dir: str) -> ray.data.Dataset:
+    """Token counting both ways (whitespace-ish identifier tokens + the
+    GPT-2-style BPE pre-tokenizer pattern), fully vectorized — one RE2
+    pass per counter; SQL oracle counts the same RE2 matches in DuckDB."""
+    from ..functions.text import bpe_token_counts, token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_ws_tokens": pc.cast(token_counts(t["text"]), pa.int64()),
+                "n_bpe_tokens": pc.cast(bpe_token_counts(t["text"]), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow").sort("doc_id")
+
+
 def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup on the documents table: hash-partition by content,
     keep min(doc_id) per group, count copies."""

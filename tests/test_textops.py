@@ -150,3 +150,21 @@ def test_simhash_bucket_cap_skew(doc_dir):
     assert set(zip(capped["id_a"], capped["id_b"])) <= full_set
     if (100, 101) in full_set:
         assert ((capped["id_a"] == 100) & (capped["id_b"] == 101)).any()
+
+
+def test_bpe_token_counts_values():
+    from lasvdedup_ray.functions.text import bpe_token_counts
+
+    col = pa.array(["I'll see 42 cats!", "", "a b", "__x__"])
+    # "I"|"'ll"|" see"|" 42"|" cats"|"!" = 6; ""=0; "a"|" b"=2;
+    # "__"|"x"|"__" = 3
+    assert bpe_token_counts(col).to_pylist() == [6, 0, 2, 3]
+
+
+def test_token_counts_docs_query(doc_dir):
+    from lasvdedup_ray.pipelines.textops import token_counts_docs
+
+    out = token_counts_docs(doc_dir).to_pandas()
+    assert len(out) == 42
+    assert (out["n_bpe_tokens"] > 0).all() and (out["n_ws_tokens"] > 0).all()
+    assert list(out["doc_id"]) == sorted(out["doc_id"])
