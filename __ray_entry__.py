@@ -26,7 +26,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from lasvdedup_ray.pipelines import ann, docdedup, media, relational, textops
+    from lasvdedup_ray.pipelines import (
+        ann,
+        docdedup,
+        media,
+        relational,
+        textops,
+        windows,
+    )
 
     return {
         # relational operator coverage
@@ -37,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "top_users_by_value": relational.top_users_by_value,
         "user_sessions": relational.user_sessions,
+        "user_rolling_value": windows.user_rolling_value,
+        "purchase_attribution": windows.purchase_attribution,
         "brand_revenue": relational.brand_revenue,
         "supplier_balance_stats": relational.supplier_balance_stats,
         # text analysis / quality
@@ -52,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
         "common_span_pairs": textops.common_span_pairs,
+        "decontam_overlap": textops.decontam_overlap,
         # similarity search
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -62,6 +72,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
     }
+
+
+def _langid_sql() -> str:
+    """Mirror of lasvdedup_ray.functions.text.language_id/stopword_ratio,
+    built FROM the same lexicon constants so the two sides cannot drift.
+    Tie-break matches the Python argmax: first language in STOPWORDS
+    insertion order with the maximum hit count wins; zero hits -> 'und'."""
+    from lasvdedup_ray.functions.text import STOPWORDS, TOKEN_REGEX
+
+    langs = list(STOPWORDS)  # en, de, fr, es, it — insertion order
+    hit_cols = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
+        hit_cols.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) AS h_{lg}"
+        )
+    all_h = ", ".join(f"h_{lg}" for lg in langs)
+    cases = []
+    for i, lg in enumerate(langs):
+        rest = [f"h_{lg} >= h_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lg}'")
+    case_block = "\n                   ".join(cases[:-1])
+    return f"""
+        WITH tk AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), '{TOKEN_REGEX}') AS toks
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, len(toks) AS n, {", ".join(hit_cols)}
+            FROM tk
+        )
+        SELECT doc_id,
+               CASE WHEN greatest({all_h}) = 0 THEN 'und'
+                   {case_block}
+                   ELSE '{langs[-1]}' END AS lang_pred,
+               CAST(round((CASE WHEN n = 0 THEN 0.0
+                                ELSE h_en * 1.0 / n END) * 1000000) AS BIGINT)
+                   AS en_stopword_ratio_e6
+        FROM h ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -149,6 +201,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(sess_events) AS BIGINT) AS n_events,
                    max(sess_events) AS max_session_events
             FROM per_sess GROUP BY user_id ORDER BY user_id
+        """,
+        "user_rolling_value": """
+            WITH q AS (
+                SELECT event_id, user_id, ts,
+                       CAST(round(value * 10000) AS BIGINT) AS v_e4
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(v_e4) OVER w AS BIGINT) AS roll_sum_e4,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n,
+                   CAST(round(sum(v_e4) OVER w * 1.0 / count(*) OVER w) AS BIGINT)
+                       AS roll_mean_e4
+            FROM q
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "purchase_attribution": """
+            SELECT p.event_id AS event_id, p.user_id AS user_id,
+                   v.event_id AS view_event_id,
+                   CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS us_since_view
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts > v.ts
+            ORDER BY event_id
+        """,
+        "langid_docs": _langid_sql(),
+        "decontam_overlap": """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(text) < 8 THEN text
+                            ELSE substr(text, CAST(i AS INTEGER), 8) END AS shingle
+                FROM pos
+            ),
+            -- benchmark slice = lowest 10% of doc_ids (DECONTAM_BENCH_DIVISOR)
+            cut AS (SELECT count(*) // 10 AS c FROM documents),
+            bench AS (
+                SELECT DISTINCT shingle FROM sh, cut WHERE doc_id < cut.c
+            )
+            SELECT s.doc_id, count(*) AS n_overlap
+            FROM sh s JOIN bench b ON s.shingle = b.shingle, cut
+            WHERE s.doc_id >= cut.c
+            GROUP BY s.doc_id ORDER BY s.doc_id
         """,
         "brand_revenue": """
             SELECT p.p_brand,
@@ -277,9 +377,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         # minhash_dedup_docs / simhash_near_pairs / embedding_neardup_lsh /
-        # embedding_topk_ivf / langid_docs / doc_fingerprints /
-        # common_span_pairs: sketch-, heuristic-, IVF- or LCS-based, not
-        # SQL-expressible — rows-only driver check; pinned by pytest
-        # oracles (embedding_topk_ivf with n_probe == n_centroids is pinned
-        # EQUAL to the exact embedding_topk).
+        # embedding_topk_ivf / doc_fingerprints / common_span_pairs:
+        # sketch-, IVF- or LCS-based, not SQL-expressible — rows-only
+        # driver check; pinned by pytest oracles (embedding_topk_ivf with
+        # n_probe == n_centroids is pinned EQUAL to the exact
+        # embedding_topk).
     }

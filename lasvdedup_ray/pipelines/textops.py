@@ -520,8 +520,10 @@ def ngram_jaccard_pairs(
 
 
 def langid_docs(sf_dir: str) -> ray.data.Dataset:
-    """Heuristic language ID + stopword ratio (actor-pool-style batch fn;
-    no SQL oracle — lexicon heuristic)."""
+    """Heuristic language ID + stopword ratio (actor-pool-style batch fn).
+    The DuckDB oracle (``__ray_entry__._langid_sql``) is GENERATED from the
+    same ``STOPWORDS``/``TOKEN_REGEX`` constants — lexicon, tokenization,
+    and argmax tie-break cannot drift between the two engines."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def ident(t: pa.Table) -> pa.Table:
@@ -749,3 +751,86 @@ def common_span_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
         )
 
     return spans.map_batches(to_int_ids, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+# ---- benchmark decontamination ---------------------------------------------
+# The benchmark slice is the lowest 10% of doc_ids — a stand-in for an eval
+# set.  Decontamination's defining asymmetry: the benchmark side is SMALL
+# (an eval suite, not a second corpus), so its distinct shingle-hash set is
+# broadcast (ray.put once, cached per worker) and the 100-TB training side
+# streams through a stateless vectorized membership scan — no shuffle of
+# the big side at all.  DECONTAM_BENCH_DIVISOR controls the slice; the SQL
+# oracle applies the identical cut.
+
+
+DECONTAM_BENCH_DIVISOR = 10
+
+
+def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
+    """Benchmark-overlap decontamination: for every training doc (doc_id
+    outside the benchmark slice), the number of its distinct character
+    k-grams that appear anywhere in the benchmark slice.  Docs with zero
+    overlap are omitted (they are clean).
+
+    Execution shape: predicate-pushdown read of the benchmark slice →
+    distinct shingle hashes unioned on the driver (the eval set is small
+    by construction — this is the documented size assumption) → sorted
+    uint64 array broadcast via ``ray.put`` → one stateless ``map_batches``
+    membership scan (``np.searchsorted``) over the training side.  The
+    training corpus is never shuffled and never held anywhere whole.
+    """
+    import ray
+
+    from .relational import _cached_get
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = ray.data.read_parquet(path, columns=["doc_id"]).count()  # metadata
+    cut = n_docs // DECONTAM_BENCH_DIVISOR
+
+    import pyarrow.dataset as pads
+
+    bench = ray.data.read_parquet(
+        path, columns=["doc_id", "text"], filter=pads.field("doc_id") < cut
+    )
+
+    def batch_hashes(t: pa.Table) -> pa.Table:
+        s = _doc_shingles(t, k)
+        u = np.unique(s["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({"h": pa.array(u, pa.uint64())})
+
+    parts = [
+        b["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for b in bench.map_batches(batch_hashes, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    bench_hashes = (
+        np.unique(np.concatenate(parts)) if parts else np.array([], dtype=np.uint64)
+    )
+    ref = ray.put(bench_hashes)
+
+    train = ray.data.read_parquet(
+        path, columns=["doc_id", "text"], filter=pads.field("doc_id") >= cut
+    )
+
+    EMPTY = pa.schema([("doc_id", pa.int64()), ("n_overlap", pa.int64())])
+
+    def overlap(t: pa.Table) -> pa.Table:
+        bh = _cached_get(ref)
+        s = _doc_shingles(t, k)
+        if s.num_rows == 0 or bh.size == 0:
+            return EMPTY.empty_table()
+        h = s["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = s["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(bh, h).clip(max=bh.size - 1)
+        hit = bh[pos] == h
+        uids, cnt = np.unique(ids[hit], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_overlap": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return train.map_batches(overlap, batch_format="pyarrow").sort("doc_id")
