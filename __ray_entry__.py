@@ -116,6 +116,161 @@ def _langid_sql() -> str:
     """
 
 
+# ---- generated 64-bit hash-chain SQL (shared by winnow / simhash oracles) --
+# The engine's shingle hash is a rolling FNV-multiplier polynomial over the
+# text bytes finalized with splitmix64 (lasvdedup_ray/functions/hashing.py).
+# These helpers emit the SAME chain as DuckDB SQL, built from the SAME
+# constants, so the two engines cannot drift.  64-bit wraparound arithmetic
+# runs in HUGEINT with a hi/lo split for the multiplies (a full 64x64
+# product overflows HUGEINT); xors/shifts run in UBIGINT.  Assumes ASCII
+# text (the documents corpus), where DuckDB's per-character ord() equals
+# the UTF-8 byte the numpy kernel hashes.
+
+_M64 = 1 << 64
+_GOLD = 0x9E3779B97F4A7C15
+
+
+def _mul_sql(z: str, c: int) -> str:
+    return (
+        f"((((({z}) // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296"
+        f" + (({z}) % 4294967296) * {c}::HUGEINT) % {_M64}"
+    )
+
+
+def _xorshift_sql(z: str, s: int) -> str:
+    return (
+        f"CAST(xor(CAST({z} AS UBIGINT), CAST(({z}) // {1 << s} AS UBIGINT))"
+        f" AS HUGEINT)"
+    )
+
+
+def _poly_sql(k: int, textcol: str) -> str:
+    from lasvdedup_ray.functions.hashing import _POLY_MULT
+
+    pows = [pow(int(_POLY_MULT), k - 1 - j, _M64) for j in range(k)]
+    return " + ".join(
+        f"ord(substr({textcol}, CAST(i+{j} AS INTEGER), 1))::HUGEINT"
+        f" * {pows[j]}::HUGEINT"
+        for j in range(k)
+    )
+
+
+def _sm64_ctes(src: str, carry: str) -> str:
+    """splitmix64 as a CTE chain: ``src`` must expose columns ``{carry}, z``
+    (z = the raw polynomial hash); the final CTE ``smx`` yields the
+    finalized UBIGINT hash."""
+    from lasvdedup_ray.functions.hashing import _MIX_M1, _MIX_M2
+
+    return f"""
+        s0 AS (SELECT {carry}, (z + {_GOLD}::HUGEINT) % {_M64} AS z FROM {src}),
+        s1 AS (SELECT {carry}, {_xorshift_sql("z", 30)} AS z FROM s0),
+        s2 AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M1))} AS z FROM s1),
+        s3 AS (SELECT {carry}, {_xorshift_sql("z", 27)} AS z FROM s2),
+        s4 AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M2))} AS z FROM s3),
+        smx AS (SELECT {carry}, CAST({_xorshift_sql("z", 31)} AS UBIGINT) AS z
+                FROM s4)"""
+
+
+def _winnow_sql() -> str:
+    """Mirror of lasvdedup_ray.functions.text.winnow_fingerprints in pure
+    DuckDB SQL (rolling k-gram hash -> sliding-window min -> distinct
+    count).  Docs shorter than k, or with <= window k-gram hashes, emit
+    exactly one fingerprint in the kernel (min of all hashes / whole-text
+    blake2b hash)."""
+    k, window = 8, 16  # winnow_fingerprints defaults
+    poly = _poly_sql(k, "text")
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text, length(text) - {k - 1} AS nw,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM documents WHERE length(text) >= {k}
+        ),
+        p0 AS (SELECT doc_id, nw, i, ({poly}) % {_M64} AS z FROM pos),
+        {_sm64_ctes("p0", "doc_id, nw, i")},
+        wm AS (
+            SELECT doc_id, nw, i,
+                   min(z) OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+                       AS wmin
+            FROM smx
+        ),
+        big AS (
+            SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints
+            FROM wm WHERE nw > {window} AND i <= nw - {window - 1} GROUP BY doc_id
+        ),
+        small AS (
+            SELECT DISTINCT doc_id, CAST(1 AS BIGINT) AS n_fingerprints
+            FROM documents
+            WHERE length(text) < {k} OR length(text) - {k - 1} <= {window}
+        )
+        SELECT doc_id, n_fingerprints FROM big
+        UNION ALL SELECT doc_id, n_fingerprints FROM small
+        ORDER BY doc_id
+    """
+
+
+def _simhash_sql() -> str:
+    """Mirror of the simhash_near_pairs query in pure DuckDB SQL: the same
+    normalization (lowercase + whitespace collapse), the same distinct
+    k=5-gram splitmix64 hashes, the same hash-mod shingle sampling with
+    its empty-sample fallback, the same strict-majority bit vote — then
+    ALL pairs with Hamming distance <= 8 via bit_count(xor()).  This is
+    the query's exact semantics; the engine's slice-bucket pigeonhole
+    (and its band-cap chaining on skewed buckets, which never triggers at
+    oracle scale) is purely an execution strategy."""
+    from lasvdedup_ray.config import SignatureConfig
+
+    cfg = SignatureConfig()
+    k, mod, max_h = cfg.k, cfg.sample_mod, 8
+    poly = _poly_sql(k, "txt")
+    bitsums = ", ".join(
+        f"sum(CAST((z // {1 << b}) % 2 AS BIGINT)) AS c{b}" for b in range(64)
+    )
+    simbits = " + ".join(
+        f"(CASE WHEN 2*c{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+        WITH nm AS (
+            SELECT doc_id,
+                   regexp_replace(lower(text),
+                                  '[ \t\r\n\f\v]+', ' ', 'g') AS txt
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, txt,
+                   unnest(generate_series(1, length(txt) - {k - 1})) AS i
+            FROM nm WHERE length(txt) >= {k}
+        ),
+        p0 AS (SELECT doc_id, ({poly}) % {_M64} AS z FROM pos),
+        {_sm64_ctes("p0", "doc_id")},
+        hs AS (SELECT DISTINCT doc_id, z FROM smx),
+        stats AS (
+            SELECT doc_id, count(*) AS n_all,
+                   sum(CASE WHEN z % {mod} = 0 THEN 1 ELSE 0 END) AS n_samp
+            FROM hs GROUP BY doc_id
+        ),
+        sel AS (
+            SELECT h.doc_id, h.z
+            FROM hs h JOIN stats s ON h.doc_id = s.doc_id
+            WHERE (s.n_all > 1 AND s.n_samp >= 1 AND h.z % {mod} = 0)
+               OR NOT (s.n_all > 1 AND s.n_samp >= 1)
+        ),
+        bits AS (
+            SELECT doc_id, count(*) AS n, {bitsums}
+            FROM sel GROUP BY doc_id
+        ),
+        sim AS (
+            SELECT doc_id, CAST(({simbits}) AS UBIGINT) AS simhash FROM bits
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_h}
+        ORDER BY id_a, id_b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # *_e4 / *_e6 = value quantized to int64 (x * 10^4 / 10^6, rounded half
     # away from zero) so both engines compare exact integers, never floats.
@@ -228,6 +383,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "langid_docs": _langid_sql(),
+        "doc_fingerprints": _winnow_sql(),
+        "simhash_near_pairs": _simhash_sql(),
         "decontam_overlap": """
             WITH pos AS (
                 SELECT doc_id, text,
@@ -376,10 +533,9 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 0.35
             ORDER BY id_a, id_b
         """,
-        # minhash_dedup_docs / simhash_near_pairs / embedding_neardup_lsh /
-        # embedding_topk_ivf / doc_fingerprints / common_span_pairs:
-        # sketch-, IVF- or LCS-based, not SQL-expressible — rows-only
-        # driver check; pinned by pytest oracles (embedding_topk_ivf with
-        # n_probe == n_centroids is pinned EQUAL to the exact
-        # embedding_topk).
+        # minhash_dedup_docs / embedding_neardup_lsh / embedding_topk_ivf /
+        # common_span_pairs: sketch-, IVF- or LCS-based, not
+        # SQL-expressible — rows-only driver check; pinned by pytest
+        # oracles (embedding_topk_ivf with n_probe == n_centroids is
+        # pinned EQUAL to the exact embedding_topk).
     }
