@@ -28,6 +28,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from lasvdedup_ray.pipelines import (
         ann,
+        curation,
         docdedup,
         media,
         relational,
@@ -55,6 +56,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": textops.quality_filter,
         "langid_docs": textops.langid_docs,
         "doc_fingerprints": textops.doc_fingerprints,
+        # training-data curation
+        "pii_redact_docs": curation.pii_redact_docs,
+        "repetition_stats_docs": curation.repetition_stats_docs,
+        "hash_sample_stratified": curation.hash_sample_stratified,
+        "domain_mix_weights": curation.domain_mix_weights,
+        "pack_sequences": curation.pack_sequences,
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
@@ -271,6 +278,114 @@ def _simhash_sql() -> str:
     """
 
 
+def _pii_sql() -> str:
+    """Mirror of lasvdedup_ray.pipelines.curation.pii_redact_docs, built
+    from the SAME RE2 patterns and replacement order (pyarrow.compute and
+    DuckDB both run RE2, so match/replace semantics agree; DuckDB standard
+    strings do not process backslashes, so the patterns drop in verbatim)."""
+    from lasvdedup_ray.pipelines.curation import PII_REPLACEMENTS
+
+    red = "text"
+    for pat, repl in PII_REPLACEMENTS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    (email, _), (ipv4, _), (phone, _) = PII_REPLACEMENTS
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{ipv4}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phones,
+               length({red}) AS n_chars_redacted,
+               sha256({red}) AS redacted_sha
+        FROM documents ORDER BY doc_id
+    """
+
+
+def _repetition_sql() -> str:
+    """Mirror of curation.repetition_stats_docs: duplicate-line and
+    duplicate-token fractions.  Division-before-multiplication matches the
+    engine's quantize() operand order exactly."""
+    e6 = "CAST(round((({num}) * 1.0 / greatest({den}, 1)) * 1000000) AS BIGINT)"
+    return f"""
+        WITH l AS (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+            FROM documents
+        ),
+        per_line AS (
+            SELECT doc_id, count(*) AS n_lines, sum(length(line)) AS lchars
+            FROM l GROUP BY doc_id
+        ),
+        ul AS (SELECT DISTINCT doc_id, line FROM l),
+        per_uline AS (
+            SELECT doc_id, count(*) AS n_uline, sum(length(line)) AS ulchars
+            FROM ul GROUP BY doc_id
+        ),
+        tk AS (
+            SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS tok
+            FROM documents
+        ),
+        per_tok AS (
+            SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_utok
+            FROM tk GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               pl.n_lines,
+               coalesce(pt.n_tok, 0) AS n_tokens,
+               {e6.format(num="pl.n_lines - pu.n_uline", den="pl.n_lines")}
+                   AS dup_line_frac_e6,
+               {e6.format(num="pl.lchars - pu.ulchars", den="pl.lchars")}
+                   AS dup_char_frac_e6,
+               {e6.format(num="coalesce(pt.n_tok - pt.n_utok, 0)",
+                          den="coalesce(pt.n_tok, 0)")}
+                   AS dup_token_frac_e6
+        FROM documents d
+        JOIN per_line pl ON d.doc_id = pl.doc_id
+        JOIN per_uline pu ON d.doc_id = pu.doc_id
+        LEFT JOIN per_tok pt ON d.doc_id = pt.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def _hash_sample_sql() -> str:
+    """Mirror of curation.hash_sample_stratified: the same splitmix64
+    chain (via _sm64_ctes) over doc_id, the same per-language keep rates."""
+    from lasvdedup_ray.pipelines.curation import SAMPLE_DEFAULT_RATE, SAMPLE_RATES
+
+    cases = " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in SAMPLE_RATES.items())
+    return f"""
+        WITH p0 AS (
+            SELECT doc_id, lang, doc_id::HUGEINT AS z FROM documents
+        ),
+        {_sm64_ctes("p0", "doc_id, lang")}
+        SELECT doc_id, lang FROM smx
+        WHERE z % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
+        ORDER BY doc_id
+    """
+
+
+def _pack_sql() -> str:
+    """Mirror of curation.pack_sequences: global ordered cumsum window."""
+    from lasvdedup_ray.pipelines.curation import PACK_TOKEN_BUDGET
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, tok,
+                   sum(tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t
+        )
+        SELECT CAST((cum - tok) // {PACK_TOKEN_BUDGET} AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(tok) AS BIGINT) AS sum_tokens,
+               min(doc_id) AS first_doc,
+               max(doc_id) AS last_doc
+        FROM c GROUP BY seq_id ORDER BY seq_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # *_e4 / *_e6 = value quantized to int64 (x * 10^4 / 10^6, rounded half
     # away from zero) so both engines compare exact integers, never floats.
@@ -385,6 +500,27 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": _langid_sql(),
         "doc_fingerprints": _winnow_sql(),
         "simhash_near_pairs": _simhash_sql(),
+        "pii_redact_docs": _pii_sql(),
+        "repetition_stats_docs": _repetition_sql(),
+        "hash_sample_stratified": _hash_sample_sql(),
+        "pack_sequences": _pack_sql(),
+        "domain_mix_weights": f"""
+            WITH t AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len(regexp_extract_all(text, '{TOKEN_RE}')))
+                            AS BIGINT) AS total_tokens
+                FROM documents GROUP BY source
+            ),
+            s AS (
+                SELECT *, CAST(floor(sqrt(total_tokens) * 1000) AS BIGINT) AS sq
+                FROM t
+            ),
+            d AS (SELECT sum(sq) AS denom FROM s)
+            SELECT source, n_docs, total_tokens,
+                   CAST(floor(sq * 1000000.0 / denom + 0.5) AS BIGINT)
+                       AS weight_e6
+            FROM s, d ORDER BY source
+        """,
         "decontam_overlap": """
             WITH pos AS (
                 SELECT doc_id, text,

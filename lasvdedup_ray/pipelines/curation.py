@@ -1,0 +1,315 @@
+"""Training-data curation operators over the ``documents`` table.
+
+These are the LLM-data-pipeline operations a web-scale curation run needs
+beyond dedup/similarity: PII redaction, repetition (boilerplate) quality
+metrics, deterministic stratified sampling, domain mixing weights and
+fixed-token-budget sequence packing.  Every operator is a streaming Ray
+Data plan over Arrow batches; each has a DuckDB SQL oracle in
+``__ray_entry__.py`` built from the SAME regex / hash / budget constants
+so the two sides cannot drift.
+
+Reference parity note: the reference pipeline (Joon-Klaps/lasvdedup)
+curates a biological corpus with threshold predicates and per-group
+keep-best selection (``lasvdedup/utils/sequence_grouping.py``); these
+operators are the text-corpus analogs of that curation layer, expressed
+Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.hashing import sha256_bytes, splitmix64
+from ..functions.text import TOKEN_REGEX
+from .relational import quantize
+
+# ---------------------------------------------------------------------------
+# PII redaction.  RE2 patterns shared verbatim with the SQL oracle
+# (pyarrow.compute and DuckDB both run RE2, so match semantics agree).
+# Counts are taken on the ORIGINAL text; redaction is sequential
+# email -> ipv4 -> phone.  DuckDB standard strings do not process
+# backslashes, so the same pattern text drops into the SQL unchanged.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_REPLACEMENTS = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_IPV4_RE, "<IP>"),
+    (PII_PHONE_RE, "<PHONE>"),
+)
+
+
+def pii_redact_docs(sf_dir: str) -> ray.data.Dataset:
+    """Count and redact emails / IPv4 addresses / phone numbers per
+    document.  One RE2 pass per pattern for the counts, one per pattern
+    for the substitution — all vectorized; the redacted text never leaves
+    the batch (only its sha256 does), so content does not ride a shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def redact(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        counts = {
+            "n_emails": pc.cast(pc.count_substring_regex(text, PII_EMAIL_RE), pa.int64()),
+            "n_ips": pc.cast(pc.count_substring_regex(text, PII_IPV4_RE), pa.int64()),
+            "n_phones": pc.cast(pc.count_substring_regex(text, PII_PHONE_RE), pa.int64()),
+        }
+        red = text
+        for pat, repl in PII_REPLACEMENTS:
+            red = pc.replace_substring_regex(red, pat, repl)
+        sha = [
+            d.hex() for d in sha256_bytes(s.encode("utf-8") for s in red.to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                **counts,
+                "n_chars_redacted": pc.cast(pc.utf8_length(red), pa.int64()),
+                "redacted_sha": pa.array(sha, pa.string()),
+            }
+        )
+
+    return ds.map_batches(redact, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-style) quality metrics.
+
+
+def repetition_stats_docs(sf_dir: str) -> ray.data.Dataset:
+    """Per-document duplicate-line repetition metrics (the Gopher
+    repetition filters' line family): fraction of lines that are
+    duplicates of another line, fraction of line characters inside
+    duplicate occurrences, and fraction of tokens that repeat an earlier
+    token.  Fully vectorized: split -> flatten with parent indices ->
+    64-bit hashes -> lexsort first-occurrence scan -> bincount per doc.
+    No Python loop over rows, lines or tokens."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _uniq_per_doc(flat: pa.Array, parent: np.ndarray, ndoc: int):
+        """(#values, #distinct values, total chars, distinct chars) per doc."""
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = pd.util.hash_array(np.asarray(flat, dtype=object))
+        order = np.lexsort((h, parent))
+        ps, hs, ls = parent[order], h[order], lens[order]
+        first = np.ones(len(ps), dtype=bool)
+        if len(ps) > 1:
+            first[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        n_all = np.bincount(parent, minlength=ndoc).astype(np.int64)
+        n_uniq = np.bincount(ps[first], minlength=ndoc).astype(np.int64)
+        tot_chars = np.bincount(parent, weights=lens, minlength=ndoc).astype(np.int64)
+        uniq_chars = np.bincount(ps[first], weights=ls[first], minlength=ndoc).astype(np.int64)
+        return n_all, n_uniq, tot_chars, uniq_chars
+
+    def stats(t: pa.Table) -> pa.Table:
+        ndoc = len(t)
+        lines = pc.split_pattern(t["text"], "\n")
+        n_lines, n_uline, lchars, ulchars = _uniq_per_doc(
+            pc.list_flatten(lines),
+            pc.list_parent_indices(lines).to_numpy(zero_copy_only=False),
+            ndoc,
+        )
+        # tokens = TOKEN_REGEX matches == split on the complement class,
+        # dropping boundary empties (same token stream as the SQL oracle's
+        # regexp_extract_all(text, TOKEN_RE))
+        toks = pc.split_pattern_regex(t["text"], "[^A-Za-z0-9_]+")
+        tflat = pc.list_flatten(toks)
+        tparent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.utf8_length(tflat), 0)
+        tflat = pc.array_filter(tflat, nonempty)
+        tparent = tparent[nonempty.to_numpy(zero_copy_only=False)]
+        n_tok, n_utok, _, _ = _uniq_per_doc(tflat, tparent, ndoc)
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "dup_line_frac": pa.array(
+                    (n_lines - n_uline) / np.maximum(n_lines, 1), pa.float64()
+                ),
+                "dup_char_frac": pa.array(
+                    (lchars - ulchars) / np.maximum(lchars, 1), pa.float64()
+                ),
+                "dup_token_frac": pa.array(
+                    (n_tok - n_utok) / np.maximum(n_tok, 1), pa.float64()
+                ),
+            }
+        )
+        return quantize(
+            out,
+            ["dup_line_frac", "dup_char_frac", "dup_token_frac"],
+            scale=1_000_000,
+            suffix="_e6",
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling.  Rates are keep-percentages per
+# language; the keep decision is splitmix64(doc_id) % 100 < rate, so any
+# engine (and any rerun, at any parallelism) selects the same rows.
+SAMPLE_RATES = {"en": 25, "de": 50, "fr": 50, "es": 50, "it": 50}
+SAMPLE_DEFAULT_RATE = 100
+
+
+def hash_sample_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Seeded hash-based downsampling stratified by language (downweight
+    the dominant languages, keep the tail).  Embarrassingly parallel: the
+    keep mask is a pure function of (doc_id, lang) — no shuffle, no RNG
+    state, resumable by construction."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (splitmix64(ids) % np.uint64(100)).astype(np.int64)
+        rates = np.array(
+            [SAMPLE_RATES.get(lg, SAMPLE_DEFAULT_RATE) for lg in t["lang"].to_pylist()],
+            dtype=np.int64,
+        )
+        keep = bucket < rates
+        return pa.table(
+            {
+                "doc_id": pc.array_filter(t["doc_id"], pa.array(keep)),
+                "lang": pc.array_filter(t["lang"], pa.array(keep)),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing weights.
+MIX_WEIGHT_ALPHA = 0.5  # temperature exponent: weight ∝ tokens^alpha
+
+
+def domain_mix_weights(sf_dir: str):
+    """Per-source mixing weights for training-corpus composition:
+    ``weight ∝ total_tokens^0.5`` (temperature sampling, normalized).
+    The per-batch partial aggregate collapses each batch to one row per
+    source BEFORE the groupby, so the shuffle moves O(sources) rows per
+    block, not O(rows).  The normalization runs on the driver over the
+    final per-source table (a handful of rows).  The alpha power is
+    computed as ``floor(sqrt(tokens) * 1000)`` so both engines divide the
+    same exact integers (no float ulp drift across engines)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(t["text"], TOKEN_REGEX)
+        df = pd.DataFrame(
+            {
+                "source": t["source"].to_pylist(),
+                "tok": toks.to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("tok", "size"), total_tokens=("tok", "sum")
+        )
+        return pa.table(
+            {
+                "source": pa.array(g.index, pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(), pa.int64()),
+                "total_tokens": pa.array(g["total_tokens"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_tokens", alias_name="total_tokens"),
+        )
+    )
+    small = agg.sort("source").take_all()  # O(distinct sources) rows only
+    src = [r["source"] for r in small]
+    n_docs = np.array([r["n_docs"] for r in small], dtype=np.int64)
+    toks = np.array([r["total_tokens"] for r in small], dtype=np.int64)
+    s = np.floor(np.sqrt(toks.astype(np.float64)) * 1000.0).astype(np.int64)
+    denom = int(s.sum()) if len(s) else 1
+    w = np.floor(s.astype(np.float64) * 1_000_000.0 / denom + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "source": pa.array(src, pa.string()),
+            "n_docs": pa.array(n_docs, pa.int64()),
+            "total_tokens": pa.array(toks, pa.int64()),
+            "weight_e6": pa.array(w, pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing.
+PACK_TOKEN_BUDGET = 2048  # tokens per packed training sequence
+PACK_CHUNK = 4096  # docs per scan chunk (dense doc_id assumption documented)
+
+
+def pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Pack documents (in doc_id order) into contiguous fixed-token-budget
+    training sequences: ``seq_id = running_token_start // BUDGET``.  This
+    is a distributed ordered prefix-sum (scan): chunk partial sums ->
+    driver prefix over O(n_docs / PACK_CHUNK) chunk rows -> broadcast
+    offsets -> per-chunk vectorized cumsum.  Content is projected away
+    after tokenization, so only (doc_id, tok) ride the shuffle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tokenize(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(t["text"], TOKEN_REGEX), pa.int64())
+        chunk = pc.divide(t["doc_id"], pa.scalar(PACK_CHUNK, pa.int64()))
+        return pa.table({"doc_id": t["doc_id"], "tok": toks, "chunk": chunk})
+
+    # slim (doc_id, tok, chunk) — materialized once so the two passes below
+    # don't re-tokenize; 24 bytes/doc, safe to pin even at 1e10 docs.
+    slim = ds.map_batches(tokenize, batch_format="pyarrow").materialize()
+
+    chunk_rows = (
+        slim.groupby("chunk")
+        .aggregate(Sum("tok", alias_name="chunk_tok"))
+        .sort("chunk")
+        .take_all()  # O(n_docs / PACK_CHUNK) rows on the driver
+    )
+    n_chunks = (max(r["chunk"] for r in chunk_rows) + 1) if chunk_rows else 0
+    sums = np.zeros(n_chunks, dtype=np.int64)
+    for r in chunk_rows:
+        sums[r["chunk"]] = r["chunk_tok"]
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1])) if n_chunks else sums
+    offsets_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)
+        g = g.sort_values("doc_id")
+        tok = g["tok"].to_numpy()
+        start = int(off[int(g["chunk"].iloc[0])]) + np.cumsum(tok) - tok
+        return pd.DataFrame(
+            {
+                "seq_id": start // PACK_TOKEN_BUDGET,
+                "doc_id": g["doc_id"].to_numpy(),
+                "tok": tok,
+            }
+        )
+
+    assigned = slim.groupby("chunk").map_groups(assign, batch_format="pandas")
+    return (
+        assigned.groupby("seq_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("tok", alias_name="sum_tokens"),
+            Min("doc_id", alias_name="first_doc"),
+            Max("doc_id", alias_name="last_doc"),
+        )
+        .sort("seq_id")
+    )
