@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
         "brand_revenue": relational.brand_revenue,
+        "top_orders_per_cust": relational.top_orders_per_cust,
         "supplier_balance_stats": relational.supplier_balance_stats,
         # text analysis / quality
         "doc_stats": textops.doc_stats,
@@ -62,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_stratified": curation.hash_sample_stratified,
         "domain_mix_weights": curation.domain_mix_weights,
         "pack_sequences": curation.pack_sequences,
+        "quality_classifier_docs": curation.quality_classifier_docs,
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_ivf": ann.embedding_topk_ivf,
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
+        "embedding_kmeans": ann.embedding_kmeans,
         # multimodal plumbing (deterministic synthetic media corpus;
         # rows-only — binary feature extraction is not SQL-expressible)
         "media_features": media.media_features,
@@ -386,6 +389,42 @@ def _pack_sql() -> str:
     """
 
 
+def _quality_classifier_sql() -> str:
+    """Mirror of curation.QualityClassifier: the same feature formulas
+    (quality_metrics regex classes), the same logistic weights (generated
+    from QC_WEIGHTS so they cannot drift), and the same left-to-right z
+    accumulation so float evaluation order matches the numpy side."""
+    from lasvdedup_ray.pipelines.curation import QC_KEEP_THRESHOLD, QC_WEIGHTS
+
+    w = dict(QC_WEIGHTS)
+    z = f"{w['bias']!r}"
+    for name, wv in QC_WEIGHTS[1:]:
+        z = f"({z} + {wv!r} * {name})"
+    return f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]')) * 1.0
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   len(regexp_extract_all(text, '[0-9]')) * 1.0
+                       / greatest(length(text), 1) AS digit_ratio,
+                   len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+                       / greatest(length(text), 1) AS punct_ratio,
+                   len(regexp_extract_all(text, '[ \\t\\r\\n]')) * 1.0
+                       / greatest(length(text), 1) AS ws_ratio,
+                   ln(1.0 + len(regexp_extract_all(text, '{TOKEN_RE}')))
+                       AS log_tokens
+            FROM documents
+        ),
+        zz AS (SELECT doc_id, {z} AS z FROM m)
+        SELECT doc_id,
+               CAST(round((1.0 / (1.0 + exp(-z))) * 1000000) AS BIGINT)
+                   AS quality_score_e6,
+               CAST(CASE WHEN 1.0 / (1.0 + exp(-z)) >= {QC_KEEP_THRESHOLD!r}
+                         THEN 1 ELSE 0 END AS BIGINT) AS keep
+        FROM zz ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # *_e4 / *_e6 = value quantized to int64 (x * 10^4 / 10^6, rounded half
     # away from zero) so both engines compare exact integers, never floats.
@@ -504,6 +543,20 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_docs": _repetition_sql(),
         "hash_sample_stratified": _hash_sample_sql(),
         "pack_sequences": _pack_sql(),
+        "quality_classifier_docs": _quality_classifier_sql(),
+        "top_orders_per_cust": """
+            WITH r AS (
+                SELECT o_custkey, o_orderkey,
+                       CAST(round(o_totalprice * 10000) AS BIGINT) AS total_e4,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rnk
+                FROM orders
+            )
+            SELECT o_custkey, o_orderkey, total_e4, CAST(rnk AS BIGINT) AS rnk
+            FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
         "domain_mix_weights": f"""
             WITH t AS (
                 SELECT source, count(*) AS n_docs,

@@ -22,7 +22,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
+
+from .relational import quantize
 
 
 ANN_BUCKET_CAP = 2048  # LSH buckets above this chain neighbors (ADVICE r2)
@@ -498,3 +500,132 @@ def embedding_neardup_lsh(
         ).filter(pa.array(keep))
 
     return withv.map_batches(verify, batch_format="pyarrow").sort(["id_a", "id_b"])
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Distributed spherical k-means over the FULL embedding table (the
+    iterative-algorithm execution shape, unlike the IVF coarse quantizer
+    which trains on a driver-side sample): per iteration, centroids are
+    broadcast once (``ray.put``), every batch emits k partial rows
+    (member count + vector sum), and the driver reduces O(k * n_blocks)
+    tiny partials into new centroids.  The full matrix never leaves the
+    workers; driver state is O(k * dim) + the partial rows of one pass.
+
+    Determinism: init = the k lowest vec_ids' vectors; partials are
+    reduced in sorted (centroid, min vec_id in batch) order so float
+    summation order is reproducible run to run at any parallelism.
+    Iterative -> not SQL-expressible; pinned by a pytest numpy oracle."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+1 times; slim 2-column table
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        nr = np.linalg.norm(m, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        return m / nr
+
+    # deterministic init: vectors of the k lowest vec_ids (pruned scan:
+    # per-batch bottom-k, then a row filter — mirrors embedding_topk)
+    def bottom(t: pa.Table) -> pa.Table:
+        v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)[:k]
+        return pa.table(
+            {"vec_id": t["vec_id"].take(order), "embedding": t["embedding"].take(order)}
+        )
+
+    seed_rows = sorted(
+        ds.map_batches(bottom, batch_format="pyarrow").take_all(),
+        key=lambda r: r["vec_id"],
+    )[:k]
+    cents = _norm(np.array([r["embedding"] for r in seed_rows], dtype=np.float64))
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(t: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _norm(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            rows = {"cid": [], "n": [], "vsum": [], "minid": []}
+            for ci in np.unique(assign):
+                sel = assign == ci
+                rows["cid"].append(int(ci))
+                rows["n"].append(int(sel.sum()))
+                rows["vsum"].append(m[sel].sum(axis=0).tolist())
+                rows["minid"].append(int(ids[sel].min()))
+            return pa.table(
+                {
+                    "cid": pa.array(rows["cid"], pa.int64()),
+                    "n": pa.array(rows["n"], pa.int64()),
+                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
+                    "minid": pa.array(rows["minid"], pa.int64()),
+                }
+            )
+
+        parts = sorted(
+            ds.map_batches(partial, batch_format="pyarrow").take_all(),
+            key=lambda r: (r["cid"], r["minid"]),
+        )
+        new = cents.copy()
+        for ci in range(len(cents)):
+            vs = [np.asarray(p["vsum"]) for p in parts if p["cid"] == ci]
+            if vs:
+                v = vs[0].copy()
+                for extra in vs[1:]:
+                    v += extra
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[ci] = v / nv
+        cents = new
+
+    # final stats pass: per-cluster size + mean cosine to centroid
+    cref = ray.put(cents)
+
+    def stats(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _norm(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+        sims = m @ c.T
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(m)), assign]
+        kk = len(c)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(kk), pa.int64()),
+                "n_members": pa.array(
+                    np.bincount(assign, minlength=kk).astype(np.int64), pa.int64()
+                ),
+                "cos_sum": pa.array(
+                    np.bincount(assign, weights=best, minlength=kk), pa.float64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .aggregate(
+            Sum("n_members", alias_name="n_members"),
+            Sum("cos_sum", alias_name="cos_sum"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_members"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cs = t["cos_sum"].to_numpy(zero_copy_only=False)
+        out = pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "n_members": pa.array(n, pa.int64()),
+                "mean_cos": pa.array(cs / np.maximum(n, 1), pa.float64()),
+            }
+        )
+        return quantize(out, ["mean_cos"], scale=1_000_000, suffix="_e6")
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("cluster_id")

@@ -313,3 +313,73 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring.  A fixed logistic model over the quality
+# signals — the execution shape of batched model inference: the "model"
+# (weight vector) is loaded ONCE per actor in __init__, batches stream
+# through __call__ as numpy matmuls.  With a real learned model only
+# __init__ changes.  z is accumulated left-to-right so the SQL oracle's
+# ((b + t1) + t2) + ... float evaluation order is reproduced exactly.
+QC_WEIGHTS = (
+    ("bias", -2.0),
+    ("alpha_ratio", 4.0),
+    ("digit_ratio", -3.0),
+    ("punct_ratio", 1.5),
+    ("ws_ratio", -1.0),
+    ("log_tokens", 0.35),
+)
+QC_KEEP_THRESHOLD = 0.5
+
+
+class QualityClassifier:
+    """Stateful map_batches callable (actor pool): weights in __init__,
+    vectorized scoring per batch in __call__."""
+
+    def __init__(self):
+        from ..functions.text import quality_metrics
+
+        self._metrics = quality_metrics
+        self._w = dict(QC_WEIGHTS)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = self._metrics(t["text"])
+        w = self._w
+        feats = {
+            "alpha_ratio": m["alpha_ratio"].to_numpy(zero_copy_only=False),
+            "digit_ratio": m["digit_ratio"].to_numpy(zero_copy_only=False),
+            "punct_ratio": m["punct_ratio"].to_numpy(zero_copy_only=False),
+            "ws_ratio": m["ws_ratio"].to_numpy(zero_copy_only=False),
+            "log_tokens": np.log(
+                1.0 + m["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+            ),
+        }
+        z = np.full(len(t), w["bias"], dtype=np.float64)
+        for name, _ in QC_WEIGHTS[1:]:
+            z = z + w[name] * feats[name]
+        score = 1.0 / (1.0 + np.exp(-z))
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality_score": pa.array(score, pa.float64()),
+                "keep": pa.array(
+                    (score >= QC_KEEP_THRESHOLD).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+        return quantize(out, ["quality_score"], scale=1_000_000, suffix="_e6")
+
+
+def quality_classifier_docs(sf_dir: str) -> ray.data.Dataset:
+    """Batched logistic quality scoring via an actor pool (model load once
+    per actor, vectorized inference per batch)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        QualityClassifier,
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+    ).sort("doc_id")

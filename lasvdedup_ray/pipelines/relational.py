@@ -528,3 +528,65 @@ def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
         ),
         batch_format="pyarrow",
     ).sort("s_nationkey")
+
+
+TOPK_PER_GROUP = 3
+TOPK_PARTITIONS = 64
+
+
+def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
+    """Per-group top-k WITHOUT a global sort: each customer's 3 highest-
+    value orders (ties broken by o_orderkey).  Execution shape: a per-batch
+    partial top-k (lexsort + run-length rank, keeps <= k rows per customer
+    per batch) shrinks the shuffle to O(k * customers), then ONE hash
+    shuffle on ``o_custkey % P`` and the same vectorized pass per
+    partition emits the final ranks.  Per-group ``map_groups`` would be a
+    Python call per customer — the many-tiny-groups landmine."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _topk(t: pa.Table, k: int, with_rank: bool) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((okey, -price, cust))
+        cs, ks, ps = cust[order], okey[order], price[order]
+        n = len(cs)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = cs[1:] != cs[:-1]
+        run_id = np.cumsum(starts) - 1
+        rank = np.arange(n) - np.flatnonzero(starts)[run_id]
+        keep = rank < k
+        cols = {
+            "o_custkey": pa.array(cs[keep], pa.int64()),
+            "o_orderkey": pa.array(ks[keep], pa.int64()),
+            "o_totalprice": pa.array(ps[keep], pa.float64()),
+        }
+        if with_rank:
+            cols["rnk"] = pa.array(rank[keep] + 1, pa.int64())
+        return pa.table(cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = _topk(t, TOPK_PER_GROUP, with_rank=False)
+        pk = pc.cast(
+            pc.bit_wise_and(out["o_custkey"], pa.scalar(TOPK_PARTITIONS - 1)),
+            pa.int32(),
+        )
+        return out.append_column("pkey", pk)
+
+    def final(t: pa.Table) -> pa.Table:
+        out = _topk(t.drop_columns(["pkey"]), TOPK_PER_GROUP, with_rank=True)
+        out = quantize(out, ["o_totalprice"], scale=10_000, suffix="_e4")
+        return out.rename_columns(
+            ["o_custkey", "o_orderkey", "total_e4", "rnk"]
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(final, batch_format="pyarrow")
+        .sort(["o_custkey", "rnk"])
+    )

@@ -18,6 +18,7 @@ from lasvdedup_ray.pipelines.curation import (
     hash_sample_stratified,
     pack_sequences,
     pii_redact_docs,
+    quality_classifier_docs,
     repetition_stats_docs,
 )
 
@@ -140,3 +141,125 @@ def test_pack_sequences_contiguous(ray_session, cur_dir, tmp_path):
     # ranges do not overlap
     o = out.sort_values("seq_id")
     assert (o["first_doc"].to_numpy()[1:] == o["last_doc"].to_numpy()[:-1] + 1).all()
+
+
+def test_quality_classifier_matches_reference(ray_session, cur_dir):
+    out = quality_classifier_docs(cur_dir).to_pandas().set_index("doc_id")
+    import pyarrow.compute as pc
+
+    from lasvdedup_ray.functions.text import quality_metrics
+    from lasvdedup_ray.pipelines.curation import QC_WEIGHTS
+
+    docs = pq.read_table(f"{cur_dir}/documents.parquet")
+    m = quality_metrics(docs["text"])
+    w = dict(QC_WEIGHTS)
+    z = np.full(docs.num_rows, w["bias"])
+    feats = {
+        "alpha_ratio": m["alpha_ratio"].to_numpy(zero_copy_only=False),
+        "digit_ratio": m["digit_ratio"].to_numpy(zero_copy_only=False),
+        "punct_ratio": m["punct_ratio"].to_numpy(zero_copy_only=False),
+        "ws_ratio": m["ws_ratio"].to_numpy(zero_copy_only=False),
+        "log_tokens": np.log(1.0 + m["n_tokens"].to_numpy(zero_copy_only=False)),
+    }
+    for name, _ in QC_WEIGHTS[1:]:
+        z = z + w[name] * feats[name]
+    score = 1.0 / (1.0 + np.exp(-z))
+    expect = np.floor(score * 1e6 + 0.5).astype(np.int64)
+    got = out.sort_index()["quality_score_e6"].to_numpy()
+    assert (got == expect).all()
+    assert (out.sort_index()["keep"].to_numpy() == (score >= 0.5)).all()
+
+
+def test_top_orders_per_cust_matches_pandas(ray_session, tmp_path):
+    import pandas as pd
+
+    from lasvdedup_ray.pipelines.relational import top_orders_per_cust
+
+    rng = np.random.default_rng(7)
+    n = 500
+    # few customers -> deep groups; planted exact-price ties
+    cust = rng.integers(0, 20, n)
+    price = np.round(rng.uniform(10, 100, n), 2)
+    price[::10] = 50.0  # ties broken by o_orderkey
+    d = tmp_path / "orders"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n), pa.int64()),
+                "o_custkey": pa.array(cust, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    out = top_orders_per_cust(str(d)).to_pandas()
+    df = pd.DataFrame({"o_custkey": cust, "o_orderkey": np.arange(n), "p": price})
+    df = df.sort_values(["o_custkey", "p", "o_orderkey"], ascending=[True, False, True])
+    df["rnk"] = df.groupby("o_custkey").cumcount() + 1
+    ref = df[df["rnk"] <= 3].reset_index(drop=True)
+    assert len(out) == len(ref)
+    assert (out["o_orderkey"].to_numpy() == ref["o_orderkey"].to_numpy()).all()
+    assert (out["rnk"].to_numpy() == ref["rnk"].to_numpy()).all()
+    assert (
+        out["total_e4"].to_numpy()
+        == np.floor(ref["p"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+    ).all()
+
+
+def test_embedding_kmeans_matches_numpy_reference(ray_session, tmp_path):
+    from lasvdedup_ray.pipelines.ann import embedding_kmeans
+
+    rng = np.random.default_rng(3)
+    k, iters, n, dim = 4, 3, 200, 16
+    # three tight blobs + noise
+    base = rng.normal(size=(3, dim))
+    vecs = np.vstack(
+        [base[i % 3] + 0.05 * rng.normal(size=dim) for i in range(n)]
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = embedding_kmeans(str(d), k=k, iters=iters).to_pandas()
+
+    # numpy reference: same init (k lowest vec_ids), same Lloyd iterations
+    m = np.array([np.asarray(v, dtype=np.float32) for v in vecs], dtype=np.float64)
+    # parquet stores float32 — normalize the same float32-rounded values
+    m = np.array(pa.array([v.astype(np.float32).tolist() for v in vecs],
+                          pa.list_(pa.float32())).to_pylist(), dtype=np.float64)
+    nr = np.linalg.norm(m, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    m = m / nr
+    cents = m[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(k):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cents[c] = v / nv
+    sims = m @ cents.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(n), assign]
+    sizes = np.bincount(assign, minlength=k)
+    assert (out["n_members"].to_numpy() == sizes).all()
+    mean_cos = np.bincount(assign, weights=best, minlength=k) / np.maximum(sizes, 1)
+    # float summation order differs between the distributed partial reduce
+    # and this serial reference — compare at 1e-9, then check the e6 values
+    assert np.allclose(out["mean_cos_e6"].to_numpy() / 1e6, mean_cos, atol=1e-6)
+    # clusters cover every vector exactly once
+    assert out["n_members"].sum() == n

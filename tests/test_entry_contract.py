@@ -34,6 +34,13 @@ CHECKED = [
     "exact_dedup_docs",
     "embedding_topk",
     "embedding_neardup_pairs",
+    "pii_redact_docs",
+    "repetition_stats_docs",
+    "hash_sample_stratified",
+    "domain_mix_weights",
+    "pack_sequences",
+    "quality_classifier_docs",
+    "top_orders_per_cust",
 ]
 
 
