@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": windows.purchase_attribution,
         "brand_revenue": relational.brand_revenue,
         "top_orders_per_cust": relational.top_orders_per_cust,
+        "customers_without_orders": relational.customers_without_orders,
+        "order_price_quantiles": relational.order_price_quantiles,
         "supplier_balance_stats": relational.supplier_balance_stats,
         # text analysis / quality
         "doc_stats": textops.doc_stats,
@@ -544,6 +546,25 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_stratified": _hash_sample_sql(),
         "pack_sequences": _pack_sql(),
         "quality_classifier_docs": _quality_classifier_sql(),
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            )
+            ORDER BY c_custkey
+        """,
+        "order_price_quantiles": """
+            SELECT CAST(50 AS BIGINT) AS q_pct,
+                   CAST(round(quantile_disc(o_totalprice, 0.50) * 10000) AS BIGINT)
+                       AS price_e4 FROM orders
+            UNION ALL
+            SELECT 90, CAST(round(quantile_disc(o_totalprice, 0.90) * 10000) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 99, CAST(round(quantile_disc(o_totalprice, 0.99) * 10000) AS BIGINT)
+            FROM orders
+            ORDER BY q_pct
+        """,
         "top_orders_per_cust": """
             WITH r AS (
                 SELECT o_custkey, o_orderkey,

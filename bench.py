@@ -132,6 +132,10 @@ def run_bench() -> dict:
         timed("doc_stats", textops.doc_stats)
         timed("simhash_near_pairs", textops.simhash_near_pairs)
         timed("embedding_topk", ann.embedding_topk)
+        from lasvdedup_ray.pipelines import curation
+
+        timed("quality_classifier_docs", curation.quality_classifier_docs)
+        timed("pack_sequences", curation.pack_sequences)
 
     result = {
         "metric": "flagship dedup wall time (synthetic source-code corpus)",

@@ -590,3 +590,162 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
         .map_groups(final, batch_format="pyarrow")
         .sort(["o_custkey", "rnk"])
     )
+
+
+ANTI_PARTITIONS = 64
+
+
+def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed ANTI JOIN (customer minus orders.o_custkey) with
+    one slim key shuffle: both sides project to their key column, the
+    orders side pre-dedups per batch, rows are tagged and co-partitioned
+    by ``key % P``, and each partition emits left keys absent from the
+    right via a vectorized ``np.isin``.  No bloom false-positive risk, no
+    driver-side key set — exact at any scale."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def tag(col: str, kind: int):
+        def fn(t: pa.Table) -> pa.Table:
+            k = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if kind == 1:
+                k = np.unique(k)  # per-batch dedup shrinks the shuffle
+            return pa.table(
+                {
+                    "key": pa.array(k, pa.int64()),
+                    "kind": pa.array(np.full(len(k), kind, np.int8), pa.int8()),
+                    "pkey": pa.array(
+                        (k & (ANTI_PARTITIONS - 1)).astype(np.int32), pa.int32()
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = cust.map_batches(tag("c_custkey", 0), batch_format="pyarrow").union(
+        orders.map_batches(tag("o_custkey", 1), batch_format="pyarrow")
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False)
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        left = k[kind == 0]
+        right = k[kind == 1]
+        out = left[~np.isin(left, right)]
+        return pa.table({"c_custkey": pa.array(np.sort(out), pa.int64())})
+
+    out = (
+        tagged.groupby("pkey")
+        .map_groups(lambda t: anti(t.drop_columns(["pkey"])), batch_format="pyarrow")
+        .materialize()  # final slim key column only (8 B/row)
+    )
+    # all-blocks-empty results are schemaless in Ray 2.49 (map_groups and
+    # to_pandas drop the schema of 0-row outputs); return the typed empty
+    # Arrow table directly so consumers still see the column
+    if out.count() == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return out.sort("c_custkey")
+
+
+QUANTILE_QS = (0.5, 0.9, 0.99)
+QUANTILE_DRIVER_CAP = 65536
+QUANTILE_BINS = 4096
+QUANTILE_MAX_PASSES = 6
+
+
+def order_price_quantiles(sf_dir: str, qs=QUANTILE_QS):
+    """EXACT distributed quantiles (DuckDB ``quantile_disc`` semantics:
+    the element at 1-based rank ceil(q*n)) without a global sort:
+    iterative histogram refinement.  Pass 0 finds (n, min, max); each
+    subsequent pass histograms the current [lo, hi] candidate range into
+    fixed bins (one streaming count per pass, O(bins) driver state),
+    narrows to the bin containing the target rank, and finishes by
+    collecting only that bin's values (<= QUANTILE_DRIVER_CAP) for an
+    exact driver-side selection.  Degenerate all-equal bins terminate
+    because a zero-width range collects directly."""
+    path = f"{sf_dir}/orders.parquet"
+
+    def scan():
+        return ray.data.read_parquet(path, columns=["o_totalprice"])
+
+    stats = scan().aggregate(
+        Count(alias_name="n"),
+        Min("o_totalprice", alias_name="lo"),
+        Max("o_totalprice", alias_name="hi"),
+    )
+    n, glo, ghi = int(stats["n"]), float(stats["lo"]), float(stats["hi"])
+    results = []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))  # 1-based target rank
+        lo, hi, below = glo, ghi, 0  # `below` = ranks strictly left of lo
+        for _ in range(QUANTILE_MAX_PASSES):
+            # direct collection once the candidate slice is small enough
+            in_cnt = _range_count(scan(), lo, hi)
+            if in_cnt <= QUANTILE_DRIVER_CAP or lo == hi:
+                vals = _range_values(scan(), lo, hi)
+                vals.sort()
+                results.append((q, float(vals[rank - below - 1])))
+                break
+            edges = np.linspace(lo, hi, QUANTILE_BINS + 1)
+            counts = _histogram_pass(scan(), edges)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, rank - below))
+            below += int(cum[b - 1]) if b > 0 else 0
+            lo, hi = float(edges[b]), float(edges[b + 1])
+        else:
+            vals = _range_values(scan(), lo, hi)
+            vals.sort()
+            results.append((q, float(vals[rank - below - 1])))
+    t = pa.table(
+        {
+            "q_pct": pa.array([int(round(q * 100)) for q, _ in results], pa.int64()),
+            "price": pa.array([v for _, v in results], pa.float64()),
+        }
+    )
+    return quantize(t, ["price"], scale=10_000, suffix="_e4")
+
+
+def _range_count(ds: ray.data.Dataset, lo: float, hi: float) -> int:
+    def cnt(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int(((v >= lo) & (v <= hi)).sum())], pa.int64())})
+
+    out = ds.map_batches(cnt, batch_format="pyarrow").sum("c")
+    return int(out or 0)
+
+
+def _range_values(ds: ray.data.Dataset, lo: float, hi: float) -> np.ndarray:
+    def grab(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(v[(v >= lo) & (v <= hi)], pa.float64())})
+
+    rows = ds.map_batches(grab, batch_format="pyarrow").take_all()
+    return np.array([r["v"] for r in rows], dtype=np.float64)
+
+
+def _histogram_pass(ds: ray.data.Dataset, edges: np.ndarray) -> np.ndarray:
+    nb = len(edges) - 1
+    eref = ray.put(edges)
+
+    def hist(t: pa.Table) -> pa.Table:
+        e = ray.get(eref)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        v = v[(v >= e[0]) & (v <= e[-1])]
+        idx = np.clip(np.searchsorted(e, v, side="right") - 1, 0, nb - 1)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nb), pa.int64()),
+                "cnt": pa.array(np.bincount(idx, minlength=nb).astype(np.int64), pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .take_all()
+    )
+    counts = np.zeros(nb, dtype=np.int64)
+    for r in rows:
+        counts[r["bin"]] = r["cnt"]
+    return counts

@@ -263,3 +263,57 @@ def test_embedding_kmeans_matches_numpy_reference(ray_session, tmp_path):
     assert np.allclose(out["mean_cos_e6"].to_numpy() / 1e6, mean_cos, atol=1e-6)
     # clusters cover every vector exactly once
     assert out["n_members"].sum() == n
+
+
+def test_customers_without_orders_anti_join(ray_session, tmp_path):
+    from lasvdedup_ray.pipelines.relational import customers_without_orders
+
+    d = tmp_path / "anti"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+                  "c_name": pa.array(list("abcdef"), pa.string())}),
+        str(d / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([2, 2, 4, 4, 4, 6], pa.int64()),
+                  "o_orderkey": pa.array(range(6), pa.int64())}),
+        str(d / "orders.parquet"),
+    )
+    out = customers_without_orders(str(d)).to_pandas()
+    assert out["c_custkey"].tolist() == [1, 3, 5]
+
+    # degenerate: every customer has an order -> typed empty result
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64())}),
+        str(d / "orders.parquet"),
+    )
+    empty = customers_without_orders(str(d))
+    edf = empty.to_pandas()
+    assert len(edf) == 0 and list(edf.columns) == ["c_custkey"]
+
+
+def test_order_price_quantiles_histogram_path(ray_session, tmp_path, monkeypatch):
+    import lasvdedup_ray.pipelines.relational as rel
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    prices = np.round(rng.lognormal(4, 1, n), 2)  # skewed, with ties
+    prices[:50] = 99.99
+    d = tmp_path / "q"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array(range(n), pa.int64()),
+                  "o_custkey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                  "o_totalprice": pa.array(prices, pa.float64())}),
+        str(d / "orders.parquet"),
+    )
+    # force the iterative histogram refinement (no direct collection of
+    # the whole table)
+    monkeypatch.setattr(rel, "QUANTILE_DRIVER_CAP", 64)
+    monkeypatch.setattr(rel, "QUANTILE_BINS", 16)
+    out = rel.order_price_quantiles(str(d)).to_pandas().set_index("q_pct")
+    sv = np.sort(prices)
+    for q in (0.5, 0.9, 0.99):
+        expect = sv[int(np.ceil(q * n)) - 1]  # quantile_disc rank rule
+        assert out.loc[int(q * 100), "price_e4"] == np.floor(expect * 1e4 + 0.5)

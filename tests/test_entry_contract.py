@@ -41,6 +41,8 @@ CHECKED = [
     "pack_sequences",
     "quality_classifier_docs",
     "top_orders_per_cust",
+    "customers_without_orders",
+    "order_price_quantiles",
 ]
 
 
