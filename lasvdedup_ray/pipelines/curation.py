@@ -290,26 +290,40 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
     offsets_ref = ray.put(offsets)
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
+        # emit PER-SEQUENCE partials, not per-doc rows: within a chunk the
+        # seq ids are a sorted run, so a run-length reduce collapses the
+        # chunk to O(chunk_tokens / BUDGET) rows before the merge shuffle
         off = ray.get(offsets_ref)
         g = g.sort_values("doc_id")
         tok = g["tok"].to_numpy()
+        doc = g["doc_id"].to_numpy()
         start = int(off[int(g["chunk"].iloc[0])]) + np.cumsum(tok) - tok
+        seq = start // PACK_TOKEN_BUDGET
+        starts = np.ones(len(seq), dtype=bool)
+        starts[1:] = seq[1:] != seq[:-1]
+        idx = np.flatnonzero(starts)
+        ends = np.append(idx[1:], len(seq))
+        csum = np.concatenate(([0], np.cumsum(tok)))
         return pd.DataFrame(
             {
-                "seq_id": start // PACK_TOKEN_BUDGET,
-                "doc_id": g["doc_id"].to_numpy(),
-                "tok": tok,
+                "seq_id": seq[idx],
+                "n_docs": ends - idx,
+                "sum_tokens": csum[ends] - csum[idx],
+                "first_doc": doc[idx],
+                "last_doc": doc[ends - 1],
             }
         )
 
-    assigned = slim.groupby("chunk").map_groups(assign, batch_format="pandas")
+    partials = slim.groupby("chunk").map_groups(assign, batch_format="pandas")
+    # merge shuffle over O(n_sequences) partial rows (boundary sequences
+    # split across two chunks contribute two partials)
     return (
-        assigned.groupby("seq_id")
+        partials.groupby("seq_id")
         .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("tok", alias_name="sum_tokens"),
-            Min("doc_id", alias_name="first_doc"),
-            Max("doc_id", alias_name="last_doc"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+            Min("first_doc", alias_name="first_doc"),
+            Max("last_doc", alias_name="last_doc"),
         )
         .sort("seq_id")
     )
