@@ -162,6 +162,15 @@ class ExecutionConfig:
     prepare_batch_size: int = 512
     dsu_edge_limit: int = 2_000_000   # above this, use distributed label propagation
     max_label_rounds: int = 50
+    # Below this many input rows (and with no checkpoint_dir, so resume
+    # semantics stay exchange-based) the exact-dup sha collapse runs ON THE
+    # DRIVER: one streamed (id, sha_hex) pass + a vectorized lexsort replace
+    # the sha groupby exchange, whose ~0.8 s fixed all-to-all cost dominates
+    # small inputs.  Representatives then come from a broadcast is_in filter
+    # (exact string membership — no hash-collision exposure).  Both plans
+    # pick the same min(id)-per-sha reps and star edges (pinned by
+    # tests/test_path_equivalence.py).
+    exact_driver_cap: int = 150_000
     target_max_block_size: Optional[int] = None  # None = Ray default (128 MiB)
 
 

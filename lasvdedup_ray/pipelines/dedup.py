@@ -37,6 +37,10 @@ from ..state.unionfind import assign_clusters
 
 SLIM_COLS = ["id", "sha_hex", "lang", "n_chars", "n_lines", "sha256"]
 
+# per-worker-process cache for the broadcast rep-id filter set (small-input
+# driver-collapse plan): ray.get once per worker, not per task
+_WORKER_REP_CACHE: dict = {}
+
 
 def candidate_tau(config: PipelineConfig) -> float:
     """Candidate-generation threshold: the loosest tau across partition
@@ -186,19 +190,45 @@ def dedup_pipeline(
 
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
         meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
-        # ONE sha shuffle yields both the per-sha representatives and the
-        # zero-distance star edges (two separate groupbys before r3)
-        from ..stages.exact import exact_collapse, fused_edges, fused_reps
+        if config.checkpoint_dir is None and n_rows_in <= ex.exact_driver_cap:
+            # small input: the sha collapse runs on the driver (one slim
+            # streamed pass + lexsort) instead of paying the groupby
+            # exchange's fixed all-to-all cost; reps are recovered by an
+            # exact broadcast is_in filter over the pinned signed dataset
+            from ..stages.exact import exact_collapse_driver
 
-        fused = ck.pin(
-            exact_collapse(
-                signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
-            ),
-            "reps",
-        )
-        reps_slim = fused_reps(fused)
-        n_reps = reps_slim.count()  # cheap filter pass over pinned fused
-        e_edges = fused_edges(fused)
+            rep_ids, edges_tbl = exact_collapse_driver(signed)
+            n_reps = len(rep_ids)
+            # ship the rep-id set through plasma once (ray.put + per-worker
+            # cache), not pickled into every task closure
+            rep_ref = ray.put(pa.array(list(rep_ids), pa.string()))
+
+            def keep_reps(t: pa.Table) -> pa.Table:
+                if rep_ref not in _WORKER_REP_CACHE:
+                    _WORKER_REP_CACHE.clear()
+                    _WORKER_REP_CACHE[rep_ref] = ray.get(rep_ref)
+                return t.filter(
+                    pc.is_in(t["id"], value_set=_WORKER_REP_CACHE[rep_ref])
+                )
+
+            reps_slim = signed.select_columns(
+                ["id", "sha_hex", "minhash", "simhash"]
+            ).map_batches(keep_reps, batch_format="pyarrow")
+            e_edges = ray.data.from_arrow(edges_tbl)
+        else:
+            # ONE sha shuffle yields both the per-sha representatives and
+            # the zero-distance star edges (two separate groupbys before r3)
+            from ..stages.exact import exact_collapse, fused_edges, fused_reps
+
+            fused = ck.pin(
+                exact_collapse(
+                    signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+                ),
+                "reps",
+            )
+            reps_slim = fused_reps(fused)
+            n_reps = reps_slim.count()  # cheap filter pass over pinned fused
+            e_edges = fused_edges(fused)
         near_edges = verify_pairs(
             candidate_pairs(
                 reps_slim.select_columns(["id", "minhash", "simhash"]),

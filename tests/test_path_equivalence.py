@@ -57,6 +57,24 @@ def _canon_results(ds) -> pd.DataFrame:
     return df.sort_values("id").reset_index(drop=True)
 
 
+def test_driver_collapse_matches_exchange_collapse(signed_corpus):
+    """The small-input driver-side sha collapse (exact_driver_cap) must
+    yield identical classifications to the exact_collapse exchange plan —
+    same min(id)-per-sha reps, same star edges."""
+    corpus, _, _ = signed_corpus
+    base = PipelineConfig()
+    driver = _canon_results(
+        dedup_pipeline(ray.data.from_arrow(corpus), base, num_partitions=4)
+    )
+    exchange_cfg = dataclasses.replace(
+        base, execution=dataclasses.replace(base.execution, exact_driver_cap=0)
+    )
+    exchange = _canon_results(
+        dedup_pipeline(ray.data.from_arrow(corpus), exchange_cfg, num_partitions=4)
+    )
+    pd.testing.assert_frame_equal(driver, exchange)
+
+
 def test_exact_first_path_matches_default(signed_corpus):
     corpus, _, _ = signed_corpus
     a = _canon_results(
