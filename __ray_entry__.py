@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_docs": curation.quality_classifier_docs,
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
+        "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
@@ -363,6 +364,43 @@ def _hash_sample_sql() -> str:
         {_sm64_ctes("p0", "doc_id, lang")}
         SELECT doc_id, lang FROM smx
         WHERE z % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
+        ORDER BY doc_id
+    """
+
+
+def _span_dedup_sql() -> str:
+    """Mirror of textops.span_dedup_docs: fixed word-window spans, global
+    first occurrence by (doc_id, seq), reassembly in seq order."""
+    from lasvdedup_ray.pipelines.textops import SPAN_WORDS
+
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                   generate_subscripts(string_split(text, ' '), 1) AS ws
+            FROM documents
+        ), spans AS (
+            SELECT doc_id, CAST((ws - 1) // {SPAN_WORDS} AS BIGINT) AS seq,
+                   string_agg(w, ' ' ORDER BY ws) AS p
+            FROM words GROUP BY doc_id, (ws - 1) // {SPAN_WORDS}
+        ), firsts AS (
+            SELECT doc_id, seq FROM (
+                SELECT doc_id, seq,
+                       row_number() OVER (PARTITION BY p ORDER BY doc_id, seq) AS rn
+                FROM spans) WHERE rn = 1
+        ), kept AS (
+            SELECT s.doc_id, s.seq, s.p
+            FROM spans s JOIN firsts f USING (doc_id, seq)
+        ), agg AS (
+            SELECT doc_id, string_agg(p, ' ' ORDER BY seq) AS clean_text,
+                   count(*) AS n_kept
+            FROM kept GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+               t.n_spans, coalesce(a.n_kept, 0) AS n_kept
+        FROM documents d
+        JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
     """
 
@@ -675,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, count(*) AS copies
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # C4-style span dedup: the window size mirrors
+        # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)
+        "span_dedup_docs": _span_dedup_sql(),
         "ngram_jaccard_pairs": """
             WITH pos AS (
                 SELECT doc_id, text,

@@ -94,6 +94,216 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "copies"]).sort("doc_id")
 
 
+# C4/CCNet-style span-level dedup: the dedup unit is a fixed window of
+# SPAN_WORDS consecutive words (the corpus has no sentence/paragraph
+# boundaries), and only the globally FIRST occurrence of each distinct
+# span — ordered by (doc_id, seq) — survives.  Window size is part of the
+# query semantics and is mirrored into the SQL oracle.
+SPAN_WORDS = 10
+SPAN_PARTITIONS = 64
+# two independent 64-bit keyed hashes stand in for span identity across
+# the winner shuffle (collision ~ n_spans^2 / 2^128 — negligible; a
+# collision would surface as an oracle hash-gate mismatch, never hide)
+_SPAN_HASH_KEY_1 = "6c61737664656475"
+_SPAN_HASH_KEY_2 = "7370616e6b657932"
+
+
+def _doc_spans(t: pa.Table, span_words: int):
+    """Vectorized-enough span extraction: per doc, split on single spaces
+    (DuckDB ``string_split`` semantics — consecutive spaces yield empty
+    words on both engines) and slice the ORIGINAL text at word-boundary
+    offsets, so span text is a zero-rejoin substring.  Returns
+    (doc_ids, seqs, spans) numpy arrays."""
+    out_doc, out_seq, out_span = [], [], []
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        words = txt.split(" ")
+        nw = len(words)
+        lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=nw)
+        starts = np.zeros(nw, dtype=np.int64)
+        if nw > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        n_spans = -(-nw // span_words)
+        a = np.arange(n_spans) * span_words
+        b = np.minimum(a + span_words, nw) - 1  # last word index of the span
+        spans = [txt[starts[i] : starts[j] + lens[j]] for i, j in zip(a, b)]
+        out_doc.append(np.full(n_spans, did, dtype=np.int64))
+        out_seq.append(np.arange(n_spans, dtype=np.int64))
+        out_span.append(np.asarray(spans, dtype=object))
+    if not out_doc:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+        )
+    return (
+        np.concatenate(out_doc),
+        np.concatenate(out_seq),
+        np.concatenate(out_span),
+    )
+
+
+def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Dataset:
+    """Corpus-wide span dedup (C4-style, word-window variant): every
+    repeated ``span_words``-word window is dropped except its first
+    occurrence by (doc_id, seq), and documents are reassembled from their
+    surviving spans.
+
+    Scale shape: span TEXT never rides an exchange — the winner shuffle
+    moves only (h1, h2, doc_id, seq) ~32 B rows keyed by span hash, the
+    per-doc kept-list aggregation moves (doc_id, seq), and surviving span
+    text is re-derived from the original document at reassembly (one 1:1
+    hash join of the slim kept-lists against the documents table)."""
+    import pandas as _pd
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def span_keys(t: pa.Table) -> pa.Table:
+        doc, seq, spans = _doc_spans(t, span_words)
+        h1 = _pd.util.hash_array(spans, hash_key=_SPAN_HASH_KEY_1, categorize=False)
+        h2 = _pd.util.hash_array(spans, hash_key=_SPAN_HASH_KEY_2, categorize=False)
+        return pa.table(
+            {
+                "h1": pa.array(h1, pa.uint64()),
+                "h2": pa.array(h2, pa.uint64()),
+                "doc_id": pa.array(doc, pa.int64()),
+                "seq": pa.array(seq, pa.int64()),
+                "pkey": pa.array(
+                    (h1 % np.uint64(SPAN_PARTITIONS)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    WINNER_SCHEMA = pa.schema([("doc_id", pa.int64()), ("seq", pa.int64())])
+
+    def winners(g: pa.Table) -> pa.Table:
+        # one partition holds whole span-hash buckets: lexsort by
+        # (h1, h2, doc_id, seq), first row per distinct (h1, h2) is the
+        # surviving occurrence
+        m = g.num_rows
+        if m == 0 or "h1" not in g.column_names:
+            return WINNER_SCHEMA.empty_table()
+        h1 = g["h1"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h2 = g["h2"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = g["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((seq, doc, h2, h1))
+        h1s, h2s = h1[order], h2[order]
+        first = np.ones(m, dtype=bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        keep = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "seq": pa.array(seq[keep], pa.int64()),
+            },
+            schema=WINNER_SCHEMA,
+        )
+
+    KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("kept_seqs", pa.string())])
+
+    def kept_lists(g: pa.Table) -> pa.Table:
+        # per-doc sorted kept-seq list, packed to a comma string (Arrow's
+        # hash join rejects list payload columns)
+        m = g.num_rows
+        if m == 0 or "doc_id" not in g.column_names:
+            return KEPT_SCHEMA.empty_table()
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = g["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((seq, doc))
+        doc, seq = doc[order], seq[order]
+        first = np.ones(m, dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], m)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts], pa.int64()),
+                "kept_seqs": pa.array(
+                    [
+                        ",".join(map(str, seq[s:e]))
+                        for s, e in zip(starts, ends)
+                    ],
+                    pa.string(),
+                ),
+            },
+            schema=KEPT_SCHEMA,
+        )
+
+    from .relational import _join_partitions
+
+    kept = (
+        ds.map_batches(span_keys, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: winners(t.drop_columns(["pkey"])), batch_format="pyarrow"
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "dkey",
+                pa.array(
+                    (
+                        t["doc_id"].to_numpy(zero_copy_only=False)
+                        % SPAN_PARTITIONS
+                    ).astype(np.int32)
+                    if t.num_rows
+                    else np.empty(0, dtype=np.int32),
+                    pa.int32(),
+                ),
+            )
+            if "doc_id" in t.column_names
+            else KEPT_SCHEMA.empty_table().append_column(
+                "dkey", pa.array([], pa.int32())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("dkey")
+        .map_groups(
+            lambda t: kept_lists(t.drop_columns(["dkey"])), batch_format="pyarrow"
+        )
+    )
+
+    joined = ds.join(
+        kept,
+        join_type="left_outer",
+        num_partitions=_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        texts = t["text"].to_pylist()
+        kept_s = t["kept_seqs"].to_pylist() if "kept_seqs" in t.column_names else [None] * n
+        out_text, out_spans, out_kept = [], [], []
+        for txt, ks in zip(texts, kept_s):
+            words = txt.split(" ")
+            n_spans = -(-len(words) // span_words)
+            out_spans.append(n_spans)
+            if not ks:
+                out_text.append("")
+                out_kept.append(0)
+                continue
+            seqs = [int(x) for x in ks.split(",")]
+            out_kept.append(len(seqs))
+            out_text.append(
+                " ".join(
+                    " ".join(words[s * span_words : (s + 1) * span_words])
+                    for s in seqs
+                )
+            )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_spans": pa.array(out_spans, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(reassemble, batch_format="pyarrow").sort("doc_id")
+
+
 def lang_quality_summary(sf_dir: str) -> ray.data.Dataset:
     """Per-lang corpus summary: doc count, total tokens, mean alpha ratio."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])

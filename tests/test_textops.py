@@ -168,3 +168,38 @@ def test_token_counts_docs_query(doc_dir):
     assert len(out) == 42
     assert (out["n_bpe_tokens"] > 0).all() and (out["n_ws_tokens"] > 0).all()
     assert list(out["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_span_dedup_docs_matches_bruteforce(doc_dir):
+    """span_dedup_docs == a driver-side brute-force first-occurrence pass
+    (same window, same (doc_id, seq) ordering, same reassembly)."""
+    from lasvdedup_ray.pipelines.textops import SPAN_WORDS, span_dedup_docs
+
+    res = span_dedup_docs(doc_dir).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    docs = pq.read_table(f"{doc_dir}/documents.parquet").to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    seen: set = set()
+    exp = []
+    for _, row in docs.iterrows():
+        words = row["text"].split(" ")
+        n_spans = -(-len(words) // SPAN_WORDS)
+        kept = []
+        for s in range(n_spans):
+            p = " ".join(words[s * SPAN_WORDS : (s + 1) * SPAN_WORDS])
+            if p not in seen:
+                seen.add(p)
+                kept.append(p)
+        exp.append(
+            {
+                "doc_id": row["doc_id"],
+                "clean_text": " ".join(kept),
+                "n_spans": n_spans,
+                "n_kept": len(kept),
+            }
+        )
+    exp = pd.DataFrame(exp)
+    pd.testing.assert_frame_equal(res[exp.columns.tolist()], exp)
+    # dedup fired: the planted shared-body pair and the boilerplate head
+    # must lose spans somewhere
+    assert (res["n_kept"] < res["n_spans"]).any()
