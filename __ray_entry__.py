@@ -66,12 +66,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mix_weights": curation.domain_mix_weights,
         "pack_sequences": curation.pack_sequences,
         "quality_classifier_docs": curation.quality_classifier_docs,
+        "shuffle_export_docs": curation.shuffle_export_docs,
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
+        "minhash_dedup_best_quality": docdedup.minhash_dedup_best_quality,
         "common_span_pairs": textops.common_span_pairs,
         "decontam_overlap": textops.decontam_overlap,
         # similarity search
@@ -365,6 +367,27 @@ def _hash_sample_sql() -> str:
         SELECT doc_id, lang FROM smx
         WHERE z % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
         ORDER BY doc_id
+    """
+
+
+def _shuffle_export_sql() -> str:
+    """Mirror of curation.shuffle_export_docs: the same seeded splitmix64
+    chain, shard = hash % n_shards, pos = rank within shard by (hash,
+    doc_id)."""
+    from lasvdedup_ray.pipelines.curation import SHUFFLE_SEED, SHUFFLE_SHARDS
+
+    return f"""
+        WITH p0 AS (
+            SELECT doc_id,
+                   (doc_id::HUGEINT + {SHUFFLE_SEED}::HUGEINT) % {_M64} AS z
+            FROM documents
+        ),
+        {_sm64_ctes("p0", "doc_id")}
+        SELECT doc_id, CAST(z % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               row_number() OVER (
+                   PARTITION BY z % {SHUFFLE_SHARDS} ORDER BY z, doc_id
+               ) AS pos
+        FROM smx ORDER BY shard, pos
     """
 
 
@@ -716,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         # C4-style span dedup: the window size mirrors
         # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)
         "span_dedup_docs": _span_dedup_sql(),
+        "shuffle_export_docs": _shuffle_export_sql(),
         "ngram_jaccard_pairs": """
             WITH pos AS (
                 SELECT doc_id, text,

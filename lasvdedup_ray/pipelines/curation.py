@@ -397,3 +397,76 @@ def quality_classifier_docs(sf_dir: str) -> ray.data.Dataset:
         batch_size=2048,
         concurrency=(1, 8),
     ).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-shard export: the final stage of a training-data
+# pipeline.  Every (rerun, parallelism, cluster size) produces the SAME
+# shard assignment and within-shard order, because both are pure functions
+# of doc_id — no random_shuffle all-to-all, no RNG state.  At 100 TB this
+# is one slim hash shuffle of (doc_id, hkey) rows; shard directories are
+# the resumable output unit.
+SHUFFLE_SEED = 0x5EED_C0FFEE  # pre-mix additive seed (mirrored in the SQL oracle)
+SHUFFLE_SHARDS = 16
+
+
+def shuffle_export_docs(
+    sf_dir: str, n_shards: int = SHUFFLE_SHARDS
+) -> ray.data.Dataset:
+    """(doc_id, shard, pos): deterministic seeded global shuffle of the
+    corpus into ``n_shards`` shards — shard = splitmix64(doc_id + seed) %
+    n_shards, pos = 1-based rank within the shard by (hkey, doc_id)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = splitmix64(ids + np.uint64(SHUFFLE_SEED))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64()),
+                "hkey": pa.array(h, pa.uint64()),
+            }
+        )
+
+    OUT = pa.schema(
+        [("doc_id", pa.int64()), ("shard", pa.int64()), ("pos", pa.int64())]
+    )
+
+    def positions(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "hkey" not in g.column_names:
+            return OUT.empty_table()
+        h = g["hkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((d, h))
+        pos = np.empty(len(h), dtype=np.int64)
+        pos[order] = np.arange(1, len(h) + 1)
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "shard": g["shard"],
+                "pos": pa.array(pos, pa.int64()),
+            },
+            schema=OUT,
+        )
+
+    return (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(positions, batch_format="pyarrow")
+        .sort(["shard", "pos"])
+    )
+
+
+def shuffle_export_write(sf_dir: str, out_dir: str, n_shards: int = SHUFFLE_SHARDS) -> None:
+    """Write the shuffled corpus as shard-partitioned Parquet (one
+    directory per shard — the resumable unit; a failed run skips finished
+    shard dirs).  Joins the shuffle order back to the full rows by doc_id."""
+    order = shuffle_export_docs(sf_dir, n_shards)
+    full = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    from .relational import _join_partitions
+
+    joined = order.join(
+        full, join_type="inner", num_partitions=_join_partitions(), on=("doc_id",)
+    )
+    joined.write_parquet(out_dir, partition_cols=["shard"])

@@ -67,3 +67,69 @@ def minhash_dedup_docs(
         )
 
     return res.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def minhash_dedup_best_quality(
+    sf_dir: str, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Quality-aware near-dup selection: the flagship MinHash/LSH
+    clustering, but each cluster's surviving representative is the member
+    with the HIGHEST quality score (alpha_ratio scaled to int, attached
+    via the ``rank_table`` side-table path — the reference's ranked-contigs
+    mechanism) instead of the default length-distance rank.  Returns
+    (doc_id, cluster_id, is_representative, quality_e6) sorted by doc_id."""
+    import dataclasses
+
+    import numpy as np
+
+    from ..functions.text import quality_metrics
+
+    src = documents_as_source(sf_dir)
+
+    # rank side table: id -> quality (alpha_ratio * 1e6 as int64; higher is
+    # better — selection columns sort descending)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def qtable(t: pa.Table) -> pa.Table:
+        m = quality_metrics(t["text"])
+        q = pc.cast(
+            pc.floor(pc.multiply(m["alpha_ratio"], 1_000_000.0)), pa.int64()
+        )
+        rp = pc.binary_join_element_wise(
+            pa.array(["src"] * t.num_rows), t["source"], "/"
+        )
+        pathpart = pc.binary_join_element_wise(
+            pa.array(["doc"] * t.num_rows), pc.cast(t["doc_id"], pa.string()), "_"
+        )
+        ids = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(rp, pathpart, ":"),
+            pc.cast(t["doc_id"], pa.string()),
+            "@",
+        )
+        return pa.table({"id": ids, "quality": q})
+
+    rank_table = docs.map_batches(qtable, batch_format="pyarrow")
+
+    base = PipelineConfig()
+    cfg = dataclasses.replace(base, selection_columns=("quality",))
+    res = dedup_pipeline(
+        src,
+        cfg,
+        num_partitions=num_partitions,
+        rank_table=rank_table,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        commit = pc.split_pattern(t["id"], "@")
+        doc_id = pc.cast(pc.list_element(commit, 1), pa.int64())
+        return pa.table(
+            {
+                "doc_id": doc_id,
+                "cluster_id": t["cluster_id"],
+                "is_representative": t["is_representative"],
+            }
+        )
+
+    return res.map_batches(finish, batch_format="pyarrow").sort("doc_id")

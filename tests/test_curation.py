@@ -317,3 +317,35 @@ def test_order_price_quantiles_histogram_path(ray_session, tmp_path, monkeypatch
     for q in (0.5, 0.9, 0.99):
         expect = sv[int(np.ceil(q * n)) - 1]  # quantile_disc rank rule
         assert out.loc[int(q * 100), "price_e4"] == np.floor(expect * 1e4 + 0.5)
+
+
+def test_shuffle_export_deterministic_permutation(ray_session, cur_dir):
+    """shuffle_export_docs is a permutation: every doc exactly once,
+    positions contiguous 1..m per shard, assignment = splitmix64 reference,
+    and a second run is bit-identical."""
+    from lasvdedup_ray.pipelines.curation import (
+        SHUFFLE_SEED,
+        shuffle_export_docs,
+    )
+
+    a = shuffle_export_docs(cur_dir).to_pandas()
+    b = shuffle_export_docs(cur_dir).to_pandas()
+    assert a.equals(b)
+    assert sorted(a["doc_id"]) == list(range(6))
+    # reference assignment
+    h = splitmix64(a["doc_id"].to_numpy().astype(np.uint64) + np.uint64(SHUFFLE_SEED))
+    assert (a["shard"].to_numpy() == (h % np.uint64(16)).astype(np.int64)).all()
+    for _, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+
+
+def test_shuffle_export_write_partitioned(ray_session, cur_dir, tmp_path):
+    import ray.data as rd
+
+    from lasvdedup_ray.pipelines.curation import shuffle_export_write
+
+    out = str(tmp_path / "shards")
+    shuffle_export_write(cur_dir, out)
+    back = rd.read_parquet(out)
+    assert back.count() == 6
+    assert "text" in back.schema().names and "pos" in back.schema().names

@@ -185,3 +185,41 @@ def test_degenerate_inputs_single_and_empty():
         )
     )
     assert dedup_pipeline(empty, PipelineConfig()).count() == 0
+
+
+def test_minhash_dedup_best_quality_picks_high_alpha(ray_session, tmp_path):
+    """Quality-aware selection: in a planted near-dup cluster the surviving
+    representative must be the member with the higher alpha ratio, not the
+    one the default length-distance rank would pick."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.docdedup import minhash_dedup_best_quality
+
+    base = " ".join(f"tok{i:04d}" for i in range(120))
+    texts = [
+        base + " 1234567890 0987654321 1111111",  # digit-heavy near-dup (low alpha)
+        base + " appended pure alpha words here",  # alpha-heavy near-dup
+        "completely different unique content " + " ".join(f"z{i}" for i in range(80)),
+    ]
+    d = tmp_path / "qd"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["web"] * 3, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    res = minhash_dedup_best_quality(str(d), num_partitions=4).to_pandas()
+    assert len(res) == 3
+    by_doc = res.set_index("doc_id")
+    # docs 0 and 1 cluster together; the alpha-heavy doc 1 must be the rep
+    assert by_doc.loc[0, "cluster_id"] == by_doc.loc[1, "cluster_id"]
+    assert bool(by_doc.loc[1, "is_representative"])
+    assert not bool(by_doc.loc[0, "is_representative"])
+    assert bool(by_doc.loc[2, "is_representative"])
