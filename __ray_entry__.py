@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "top_users_by_value": relational.top_users_by_value,
         "user_sessions": relational.user_sessions,
+        "distinct_users_daily": relational.distinct_users_daily,
+        "event_debounce": relational.event_debounce,
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
         "brand_revenue": relational.brand_revenue,
@@ -370,6 +372,29 @@ def _hash_sample_sql() -> str:
     """
 
 
+def _debounce_sql() -> str:
+    """Mirror of relational.event_debounce: keep events whose lag-gap
+    within (user_id, event_type) exceeds DEBOUNCE_GAP_S (or the first)."""
+    from lasvdedup_ray.pipelines.relational import DEBOUNCE_GAP_S
+
+    return f"""
+        WITH e AS (
+            -- epoch_us // 1e6: integer floor (epoch(ts)::BIGINT rounds)
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s, event_id
+            FROM events
+        ), l AS (
+            SELECT *, lag(ts_s) OVER (
+                PARTITION BY user_id, event_type ORDER BY ts_s, event_id
+            ) AS prev
+            FROM e
+        )
+        SELECT user_id, event_type, ts_s, event_id FROM l
+        WHERE prev IS NULL OR ts_s - prev > {DEBOUNCE_GAP_S}
+        ORDER BY user_id, event_type, ts_s, event_id
+    """
+
+
 def _shuffle_export_sql() -> str:
     """Mirror of curation.shuffle_export_docs: the same seeded splitmix64
     chain, shard = hash % n_shards, pos = rank within shard by (hash,
@@ -548,13 +573,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY total_value_e4 DESC, user_id LIMIT 20
         """,
         "user_sessions": """
+            -- gaps on second-truncated epochs (epoch_us // 1e6), matching the
+            -- engine's ts_s = micros // 1_000_000 (relational.py:467-476);
+            -- a raw INTERVAL comparison can disagree within 1 s of the gap
             WITH o AS (
-                SELECT user_id, ts,
-                       CASE WHEN lag(ts) OVER w IS NULL
-                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts,
+                       CASE WHEN lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                                 OR epoch_us(ts) // 1000000
+                                    - lag(epoch_us(ts) // 1000000) OVER w > 1800
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000)
             ),
             s AS (
                 SELECT user_id,
@@ -740,6 +770,18 @@ def oracle_sql() -> dict[str, str]:
         # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)
         "span_dedup_docs": _span_dedup_sql(),
         "shuffle_export_docs": _shuffle_export_sql(),
+        "distinct_users_daily": """
+            -- epoch_us // : integer floor (epoch(ts)::BIGINT ROUNDS and
+            -- would disagree with the engine within 0.5 s of a boundary)
+            SELECT event_type,
+                   CAST(epoch_us(ts) // 86400000000 * 86400 AS BIGINT) AS day_s,
+                   count(DISTINCT user_id) AS distinct_users
+            FROM events
+            GROUP BY event_type, epoch_us(ts) // 86400000000 * 86400
+            ORDER BY event_type, day_s
+        """,
+        # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
+        "event_debounce": _debounce_sql(),
         "ngram_jaccard_pairs": """
             WITH pos AS (
                 SELECT doc_id, text,

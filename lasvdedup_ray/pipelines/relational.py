@@ -749,3 +749,152 @@ def _histogram_pass(ds: ray.data.Dataset, edges: np.ndarray) -> np.ndarray:
     for r in rows:
         counts[r["bin"]] = r["cnt"]
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Exact COUNT(DISTINCT) at scale: the two-level distinct pattern.
+DISTINCT_PARTITIONS = 64
+
+
+def distinct_users_daily(sf_dir: str) -> ray.data.Dataset:
+    """Distinct active users per (event_type, day): exact COUNT(DISTINCT)
+    with the scalable two-level plan — each batch first collapses to its
+    LOCAL distinct (event_type, day, user) triples (cutting shuffle volume
+    by the in-batch duplication factor), triples are hash-partitioned by
+    user_id (every copy of a triple lands in exactly one partition, so
+    per-partition distinct counts sum globally), and one vectorized
+    np.unique pass per partition emits (event_type, day, partial_count)
+    rows into a tiny final groupby.  No global distinct shuffle of raw
+    events, no driver-side set."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
+    )
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds
+        day_s = pc.multiply(pc.divide(epoch, 86_400_000_000), 86400)
+        tbl = pa.table(
+            {
+                "event_type": t["event_type"],
+                "day_s": day_s,
+                "user_id": t["user_id"],
+            }
+        )
+        tbl = tbl.group_by(["event_type", "day_s", "user_id"]).aggregate([])
+        uid = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return tbl.append_column(
+            "pkey",
+            pa.array((uid % DISTINCT_PARTITIONS).astype(np.int32), pa.int32()),
+        )
+
+    PARTIAL = pa.schema(
+        [("event_type", pa.string()), ("day_s", pa.int64()), ("part_n", pa.int64())]
+    )
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return PARTIAL.empty_table()
+        # one distinct pass over the partition's triples, then count per
+        # (event_type, day) — all arrow/numpy, no per-group Python
+        tbl = g.group_by(["event_type", "day_s", "user_id"]).aggregate([])
+        counted = tbl.group_by(["event_type", "day_s"]).aggregate(
+            [("user_id", "count")]
+        )
+        return pa.table(
+            {
+                "event_type": counted["event_type"],
+                "day_s": counted["day_s"],
+                "part_n": pc.cast(counted["user_id_count"], pa.int64()),
+            },
+            schema=PARTIAL,
+        )
+
+    agg = (
+        ds.map_batches(local_distinct, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: count_partition(
+                t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["event_type", "day_s"])
+        .aggregate(Sum("part_n", alias_name="distinct_users"))
+    )
+    return agg.sort(["event_type", "day_s"])
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup (debounce): repeated (user, event_type) events arriving
+# within DEBOUNCE_GAP_S of the PREVIOUS event are suppressed — only the
+# first event of each burst survives.  Gap constant is query semantics,
+# mirrored in the SQL oracle.
+DEBOUNCE_GAP_S = 60
+
+
+def event_debounce(sf_dir: str) -> ray.data.Dataset:
+    """Windowed streaming dedup as a batch op: ONE hash-partition shuffle
+    on user_id, then a fully vectorized within-partition pass (lexsort by
+    (user, type, ts, event_id), numpy diff for burst boundaries).  An
+    event survives iff it starts a burst: first of its (user, type) key or
+    arriving more than DEBOUNCE_GAP_S after the immediately preceding
+    event of that key.  Same execution shape as ``user_sessions`` —
+    per-key ordering is established inside the partition, no global
+    sort."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(SESSION_PARTITIONS - 1)), pa.int32()
+        )
+        return t.append_column("pkey", pk)
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("ts_s", pa.int64()),
+            ("event_id", pa.int64()),
+        ]
+    )
+
+    def debounce_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return OUT.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ety = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        ts_s = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(
+            np.int64
+        ) // 1_000_000
+        order = np.lexsort((eid, ts_s, ety, uid))
+        uid, eid, ety, ts_s = uid[order], eid[order], ety[order], ts_s[order]
+        n = len(uid)
+        first = np.ones(n, dtype=bool)
+        first[1:] = (uid[1:] != uid[:-1]) | (ety[1:] != ety[:-1])
+        keep = first.copy()
+        keep[1:] |= (ts_s[1:] - ts_s[:-1]) > DEBOUNCE_GAP_S
+        keep[0] = True
+        return pa.table(
+            {
+                "user_id": pa.array(uid[keep], pa.int64()),
+                "event_type": pa.array(list(ety[keep]), pa.string()),
+                "ts_s": pa.array(ts_s[keep], pa.int64()),
+                "event_id": pa.array(eid[keep], pa.int64()),
+            },
+            schema=OUT,
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: debounce_partition(
+                t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["user_id", "event_type", "ts_s", "event_id"])
+    )

@@ -349,3 +349,91 @@ def test_shuffle_export_write_partitioned(ray_session, cur_dir, tmp_path):
     back = rd.read_parquet(out)
     assert back.count() == 6
     assert "text" in back.schema().names and "pos" in back.schema().names
+
+
+def test_distinct_users_daily_two_level_plan(ray_session, tmp_path):
+    """Exact COUNT(DISTINCT) via the two-level plan == pandas nunique,
+    with planted duplicates both within and across partitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lasvdedup_ray.pipelines.relational import distinct_users_daily
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    base = np.int64(1_600_000_000_000_000)  # epoch micros
+    ts = base + rng.integers(0, 3 * 86_400_000_000, n)  # 3 days
+    users = rng.integers(0, 200, n)  # heavy duplication
+    etypes = np.array(["click", "view", "buy"])[rng.integers(0, 3, n)]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(etypes, pa.string()),
+                "value": pa.array(np.ones(n), pa.float64()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    res = distinct_users_daily(str(d)).to_pandas()
+    df = pd.DataFrame(
+        {
+            "event_type": etypes,
+            "day_s": (ts // 86_400_000_000) * 86400,
+            "user_id": users,
+        }
+    )
+    exp = (
+        df.groupby(["event_type", "day_s"])["user_id"]
+        .nunique()
+        .reset_index(name="distinct_users")
+        .sort_values(["event_type", "day_s"])
+        .reset_index(drop=True)
+    )
+    exp["distinct_users"] = exp["distinct_users"].astype("int64")
+    pd.testing.assert_frame_equal(res.reset_index(drop=True), exp)
+
+
+def test_event_debounce_bursts(ray_session, tmp_path):
+    """Debounce keeps exactly the first event of each (user, type) burst:
+    events <= DEBOUNCE_GAP_S after the previous kept-or-dropped event of
+    the same key are suppressed; a gap > DEBOUNCE_GAP_S restarts."""
+    from lasvdedup_ray.pipelines.relational import DEBOUNCE_GAP_S, event_debounce
+
+    base = np.int64(1_600_000_000_000_000)
+    g = DEBOUNCE_GAP_S * 1_000_000
+    rows = [
+        # user 1 click: burst of 3 (kept, +gap, +gap) then a fresh burst
+        (0, 1, "click", base),
+        (1, 1, "click", base + g),            # exactly gap -> suppressed
+        (2, 1, "click", base + 2 * g),        # gap from #1 -> suppressed
+        (3, 1, "click", base + 3 * g + 1_000_000),  # gap+1s from #2 -> kept
+        # user 1 view: independent key, single event
+        (4, 1, "view", base + 500_000),
+        # user 2 click: two events far apart -> both kept
+        (5, 2, "click", base),
+        (6, 2, "click", base + 10 * g),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                np.array([r[3] for r in rows], dtype="datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    res = event_debounce(str(d)).to_pandas()
+    assert list(res["event_id"]) == [0, 3, 4, 5, 6]
+    # chained suppression: #2 compares against #1 (suppressed), not #0
+    assert 2 not in set(res["event_id"])
