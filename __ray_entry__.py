@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export_docs": curation.shuffle_export_docs,
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
+        "incremental_dedup_docs": textops.incremental_dedup_docs,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
@@ -765,6 +766,20 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # incremental dedup: even doc_id = existing index, odd = incoming
+        # (parity split is query semantics, mirrored in the engine)
+        "incremental_dedup_docs": """
+            WITH idx AS (
+                SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   count(*) AS n_copies
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND text NOT IN (SELECT text FROM idx)
+            GROUP BY text
+            ORDER BY doc_id
         """,
         # C4-style span dedup: the window size mirrors
         # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)

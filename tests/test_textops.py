@@ -203,3 +203,35 @@ def test_span_dedup_docs_matches_bruteforce(doc_dir):
     # dedup fired: the planted shared-body pair and the boilerplate head
     # must lose spans somewhere
     assert (res["n_kept"] < res["n_spans"]).any()
+
+
+def test_incremental_dedup_planted(tmp_path):
+    """Incoming (odd doc_id) docs dedup against the index (even doc_id):
+    cross-parity matches drop, surviving in-batch dups collapse to
+    min(doc_id) with a copy count, index-only dups are irrelevant."""
+    from lasvdedup_ray.pipelines.textops import incremental_dedup_docs
+
+    texts = {
+        0: "alpha corpus text",      # index
+        2: "beta corpus text",       # index
+        4: "beta corpus text",       # index dup of 2 (must not matter)
+        1: "alpha corpus text",      # incoming, matches index -> dropped
+        3: "gamma fresh text",       # incoming, fresh
+        5: "gamma fresh text",       # incoming dup of 3 -> collapses
+        7: "delta fresh text",       # incoming, fresh, unique
+        9: "beta corpus text",       # incoming, matches index -> dropped
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    res = incremental_dedup_docs(str(d)).to_pandas()
+    assert list(res["doc_id"]) == [3, 7]
+    assert list(res["n_copies"]) == [2, 1]
