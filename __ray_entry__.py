@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup_docs": textops.exact_dedup_docs,
         "incremental_dedup_docs": textops.incremental_dedup_docs,
+        "normalized_dedup_docs": textops.normalized_dedup_docs,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
@@ -766,6 +767,19 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # normalization uses the SAME RE2 patterns as the engine's pyarrow
+        # kernels (both RE2) — character-class semantics match exactly
+        "normalized_dedup_docs": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9 ]+', ' ', 'g'
+                       ), ' +', ' ', 'g')) AS ntext
+                FROM documents
+            )
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM n GROUP BY ntext ORDER BY doc_id
         """,
         # incremental dedup: even doc_id = existing index, odd = incoming
         # (parity split is query semantics, mirrored in the engine)

@@ -94,6 +94,49 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "copies"]).sort("doc_id")
 
 
+def normalized_dedup_docs(sf_dir: str) -> ray.data.Dataset:
+    """CCNet/C4-style normalized dedup: lowercase, replace every run of
+    non-[a-z0-9 ] with a space, collapse space runs, trim — then exact
+    dedup on the normalized form (catches dups differing only in case /
+    punctuation / spacing).  Normalization is pure pyarrow RE2 kernels per
+    batch; the DuckDB oracle applies the IDENTICAL RE2 patterns (both
+    engines are RE2, so the character-class semantics match exactly).
+    After normalization the plan is the exact-dedup shape: content never
+    rides the shuffle — docs collapse per batch to (sha_hex, min doc_id,
+    count) partials first, so the exchange carries one slim row per
+    distinct normalized text per batch, then a small groupby finishes."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def norm_hash(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t["text"])
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9 ]+", replacement=" ")
+        s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        digests = sha256_bytes(v.encode("utf-8") for v in s.to_pylist())
+        part = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "sha_hex": pa.array([d.hex() for d in digests], pa.string()),
+            }
+        )
+        # per-batch partial collapse: one slim row per distinct text
+        g = part.group_by("sha_hex").aggregate([("doc_id", "min"), ("doc_id", "count")])
+        return pa.table(
+            {
+                "sha_hex": g["sha_hex"],
+                "doc_id": g["doc_id_min"],
+                "n_copies": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(norm_hash, batch_format="pyarrow")
+        .groupby("sha_hex")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Sum("n_copies", alias_name="n_copies"))
+    )
+    return agg.select_columns(["doc_id", "n_copies"]).sort("doc_id")
+
+
 INCR_PARTITIONS = 64
 
 

@@ -235,3 +235,32 @@ def test_incremental_dedup_planted(tmp_path):
     res = incremental_dedup_docs(str(d)).to_pandas()
     assert list(res["doc_id"]) == [3, 7]
     assert list(res["n_copies"]) == [2, 1]
+
+
+def test_normalized_dedup_planted(tmp_path):
+    """Case/punctuation/spacing variants collapse to one normalized form;
+    genuinely different texts survive."""
+    from lasvdedup_ray.pipelines.textops import normalized_dedup_docs
+
+    texts = [
+        "Hello, World!",          # 0
+        "hello   world",          # 1 -> dup of 0
+        "HELLO-WORLD.",           # 2 -> dup of 0
+        "goodbye world",          # 3
+        "  hello world  ",        # 4 -> dup of 0
+        "hello world 2",          # 5
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    res = normalized_dedup_docs(str(d)).to_pandas()
+    assert list(res["doc_id"]) == [0, 3, 5]
+    assert list(res["n_copies"]) == [4, 1, 1]
