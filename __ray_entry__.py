@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": textops.exact_dedup_docs,
         "incremental_dedup_docs": textops.incremental_dedup_docs,
         "normalized_dedup_docs": textops.normalized_dedup_docs,
+        "vocab_top_tokens": textops.vocab_top_tokens,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "simhash_near_pairs": textops.simhash_near_pairs,
@@ -372,6 +373,12 @@ def _hash_sample_sql() -> str:
         WHERE z % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
         ORDER BY doc_id
     """
+
+
+def _textops_vocab_k() -> int:
+    from lasvdedup_ray.pipelines.textops import VOCAB_TOP_K
+
+    return VOCAB_TOP_K
 
 
 def _debounce_sql() -> str:
@@ -767,6 +774,16 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": """
             SELECT min(doc_id) AS doc_id, count(*) AS copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # K mirrors textops.VOCAB_TOP_K; split/tie-break semantics match the
+        # engine (single-space split, empties dropped, count desc then token)
+        "vocab_top_tokens": f"""
+            WITH toks AS (
+                SELECT unnest(string_split(lower(text), ' ')) AS tok
+                FROM documents
+            )
+            SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+            GROUP BY tok ORDER BY n DESC, tok LIMIT {_textops_vocab_k()}
         """,
         # normalization uses the SAME RE2 patterns as the engine's pyarrow
         # kernels (both RE2) — character-class semantics match exactly

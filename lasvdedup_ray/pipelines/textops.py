@@ -94,6 +94,36 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "copies"]).sort("doc_id")
 
 
+VOCAB_TOP_K = 100
+
+
+def vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Corpus vocabulary: top-K whitespace tokens by frequency (the
+    vocab-building / corpus-statistics op).  Per batch everything is
+    Arrow kernels — lower, split on single space, flatten, drop empties —
+    and the batch COMBINES to (token, partial count) before the exchange,
+    so shuffle volume is bounded by distinct-tokens-per-batch (vocab
+    size), not corpus token count.  A small final groupby sums partials;
+    top-K via sort (count desc, token asc — deterministic tie-break) +
+    limit.  K is query semantics, mirrored in the SQL oracle."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(pc.utf8_lower(t["text"]), " "))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"tok": toks}).group_by("tok").aggregate([("tok", "count")])
+        return pa.table(
+            {"tok": g["tok"], "n": pc.cast(g["tok_count"], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg.sort(["n", "tok"], descending=[True, False]).limit(VOCAB_TOP_K)
+
+
 def normalized_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     """CCNet/C4-style normalized dedup: lowercase, replace every run of
     non-[a-z0-9 ] with a space, collapse space runs, trim — then exact

@@ -264,3 +264,32 @@ def test_normalized_dedup_planted(tmp_path):
     res = normalized_dedup_docs(str(d)).to_pandas()
     assert list(res["doc_id"]) == [0, 3, 5]
     assert list(res["n_copies"]) == [4, 1, 1]
+
+
+def test_vocab_top_tokens_tiebreak(tmp_path):
+    """Top-K boundary falls inside a count tie: lexicographic token order
+    must decide, and partial counts must sum across batches/docs."""
+    from lasvdedup_ray.pipelines.textops import VOCAB_TOP_K, vocab_top_tokens
+
+    hi = [f"a{i:03d}" for i in range(50)]    # count 3 each
+    lo = [f"b{i:03d}" for i in range(100)]   # count 2 each -> tie at K=100
+    docs = [
+        " ".join(hi) + " " + " ".join(lo),
+        " ".join(hi) + " " + " ".join(lo),
+        " ".join(hi).upper(),                # lowercased -> third count
+    ]
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    res = vocab_top_tokens(str(d)).to_pandas()
+    assert len(res) == VOCAB_TOP_K
+    assert list(res["tok"][:50]) == hi and set(res["n"][:50]) == {3}
+    assert list(res["tok"][50:]) == lo[:50] and set(res["n"][50:]) == {2}
