@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": textops.vocab_top_tokens,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
+        "incremental_neardup_docs": textops.incremental_neardup_docs,
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
         "minhash_dedup_best_quality": docdedup.minhash_dedup_best_quality,
@@ -372,6 +373,46 @@ def _hash_sample_sql() -> str:
         SELECT doc_id, lang FROM smx
         WHERE z % 100 < CASE lang {cases} ELSE {SAMPLE_DEFAULT_RATE} END
         ORDER BY doc_id
+    """
+
+
+def _ngram_pairs_sql() -> str:
+    """Shared pair body for ngram_jaccard_pairs and incremental_neardup_docs."""
+    return """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(text) < 8 THEN text
+                            ELSE substr(text, CAST(i AS INTEGER), 8) END AS shingle
+                FROM pos
+            ),
+            -- doc-frequency cap (= lasvdedup_ray NGRAM_DF_CAP): shingles in
+            -- more than 128 docs are boilerplate, excluded from the
+            -- similarity universe on BOTH engines
+            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            shk AS (
+                SELECT sh.doc_id, sh.shingle FROM sh
+                JOIN df ON sh.shingle = df.shingle WHERE df.df <= 128
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+                FROM shk a JOIN shk b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.id_a, i.id_b,
+                   CAST(round(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT)
+                       AS jaccard_e6
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+            ORDER BY i.id_a, i.id_b
     """
 
 
@@ -828,41 +869,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
         "event_debounce": _debounce_sql(),
-        "ngram_jaccard_pairs": """
-            WITH pos AS (
-                SELECT doc_id, text,
-                       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
-                FROM documents
-            ),
-            sh AS (
-                SELECT DISTINCT doc_id,
-                       CASE WHEN length(text) < 8 THEN text
-                            ELSE substr(text, CAST(i AS INTEGER), 8) END AS shingle
-                FROM pos
-            ),
-            -- doc-frequency cap (= lasvdedup_ray NGRAM_DF_CAP): shingles in
-            -- more than 128 docs are boilerplate, excluded from the
-            -- similarity universe on BOTH engines
-            df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-            shk AS (
-                SELECT sh.doc_id, sh.shingle FROM sh
-                JOIN df ON sh.shingle = df.shingle WHERE df.df <= 128
-            ),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM shk GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-                FROM shk a JOIN shk b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT i.id_a, i.id_b,
-                   CAST(round(i.inter * 1000000.0 / (sa.sz + sb.sz - i.inter)) AS BIGINT)
-                       AS jaccard_e6
-            FROM inter i
-            JOIN sizes sa ON i.id_a = sa.doc_id
-            JOIN sizes sb ON i.id_b = sb.doc_id
-            WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
-            ORDER BY i.id_a, i.id_b
+        "ngram_jaccard_pairs": _ngram_pairs_sql(),
+        # incremental near-dup: incoming (odd doc_id) docs with n-gram
+        # Jaccard >= 0.5 against ANY index (even doc_id) doc — the same
+        # pair universe as ngram_jaccard_pairs (shared SQL body),
+        # restricted to mixed-parity pairs and collapsed per incoming doc
+        "incremental_neardup_docs": f"""
+            SELECT CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id,
+                   count(*) AS n_partners
+            FROM ({_ngram_pairs_sql()})
+            WHERE (id_a % 2) <> (id_b % 2)
+            GROUP BY 1
+            ORDER BY doc_id
         """,
         "embedding_topk": """
             WITH q AS (

@@ -94,6 +94,41 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     return agg.select_columns(["doc_id", "copies"]).sort("doc_id")
 
 
+def incremental_neardup_docs(sf_dir: str) -> ray.data.Dataset:
+    """Incremental NEAR-dup detection against an index: which incoming
+    (odd doc_id) docs are n-gram-Jaccard >= 0.5 similar to ANY existing
+    index (even doc_id) doc?  The continuous-ingestion companion of
+    ``incremental_dedup_docs`` — exact content match is not required.
+
+    Reuses the full ``ngram_jaccard_pairs`` distributed pair pipeline (one
+    shingle exchange, df-capped, partition pre-aggregated) and restricts
+    its ABOVE-THRESHOLD pair set — tiny by construction — to mixed-parity
+    pairs, collapsing to (incoming doc_id, partner count).  The parity
+    split and threshold are query semantics, mirrored in the SQL oracle
+    (which shares the pair body with ngram_jaccard_pairs)."""
+    pairs = ngram_jaccard_pairs(sf_dir)
+
+    OUT = pa.schema([("doc_id", pa.int64())])
+
+    def mixed_incoming(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return OUT.empty_table()
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ao, bo = a % 2 == 1, b % 2 == 1
+        keep = ao != bo
+        return pa.table(
+            {"doc_id": pa.array(np.where(ao, a, b)[keep], pa.int64())}, schema=OUT
+        )
+
+    return (
+        pairs.map_batches(mixed_incoming, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_partners"))
+        .sort("doc_id")
+    )
+
+
 VOCAB_TOP_K = 100
 
 

@@ -293,3 +293,40 @@ def test_vocab_top_tokens_tiebreak(tmp_path):
     assert len(res) == VOCAB_TOP_K
     assert list(res["tok"][:50]) == hi and set(res["n"][:50]) == {3}
     assert list(res["tok"][50:]) == lo[:50] and set(res["n"][50:]) == {2}
+
+
+def test_incremental_neardup_parity(tmp_path):
+    """Only mixed-parity (incoming vs index) near-dup pairs count: an
+    incoming-incoming near-dup pair is ignored; dissimilar incoming docs
+    don't appear."""
+    from lasvdedup_ray.pipelines.textops import incremental_neardup_docs
+
+    rng = np.random.default_rng(3)
+
+    def body(seed):
+        r = np.random.default_rng(seed)
+        return " ".join(f"w{int(x):05d}" for x in r.integers(0, 10**6, 60))
+
+    base = body(1)
+    texts = {
+        0: base,                       # index
+        1: base + " tailx",            # incoming ~ index 0 -> near-dup
+        3: body(2),                    # incoming, unique
+        5: body(4) + " zz",            # incoming, near-dup of 7 ONLY
+        7: body(4),                    # incoming (odd) -> same parity, ignored
+        2: body(9),                    # index, unique
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    res = incremental_neardup_docs(str(d)).to_pandas()
+    assert list(res["doc_id"]) == [1]
+    assert list(res["n_partners"]) == [1]
