@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": textops.vocab_top_tokens,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
+        "jaccard_cluster_docs": textops.jaccard_cluster_docs,
         "incremental_neardup_docs": textops.incremental_neardup_docs,
         "simhash_near_pairs": textops.simhash_near_pairs,
         "minhash_dedup_docs": docdedup.minhash_dedup_docs,
@@ -870,6 +871,25 @@ def oracle_sql() -> dict[str, str]:
         # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
         "event_debounce": _debounce_sql(),
         "ngram_jaccard_pairs": _ngram_pairs_sql(),
+        # single-linkage clustering over the SAME exact-Jaccard pair
+        # universe: recursive min-label transitive closure == the engine's
+        # distributed union-find (state/unionfind.py) — this is the direct
+        # SQL oracle for the connected-components operator
+        "jaccard_cluster_docs": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b FROM ({_ngram_pairs_sql()})
+            ), bidir AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION ALL
+                SELECT id_b AS a, id_a AS b FROM pairs
+            ), reach(id, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.id, e.b FROM reach r JOIN bidir e ON e.a = r.lbl
+            )
+            SELECT id AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id ORDER BY doc_id
+        """,
         # incremental near-dup: incoming (odd doc_id) docs with n-gram
         # Jaccard >= 0.5 against ANY index (even doc_id) doc — the same
         # pair universe as ngram_jaccard_pairs (shared SQL body),

@@ -1245,3 +1245,60 @@ def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
         )
 
     return train.map_batches(overlap, batch_format="pyarrow").sort("doc_id")
+
+
+def jaccard_cluster_docs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
+    """Exact-Jaccard single-linkage clustering: connected components of the
+    >=threshold n-gram-Jaccard graph over ``documents``, labels = min doc_id
+    per component (singletons label themselves).
+
+    This is the reference's ``cluster_sequences`` transitive closure
+    (lasvdedup/utils/sequence_grouping.py:89-118) run over EXACT similarity
+    edges instead of the MinHash estimate, so the distributed union-find
+    (state/unionfind.py) gets a direct SQL oracle: DuckDB computes the same
+    components with a recursive min-label CTE.  Edge generation reuses
+    ``ngram_jaccard_pairs`` (already oracle-hash-matched), so any divergence
+    here isolates to the clustering operator itself.
+
+    Scale shape: the edge list (near-dup pairs only) is orders of magnitude
+    smaller than the corpus; ``assign_clusters`` streams it into a driver
+    DSU below ``dsu_edge_limit`` and switches to distributed min-label
+    propagation + pointer jumping above it.  Node ids ride as zero-padded
+    strings so the DSU's lexicographic min equals the numeric min."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold)
+
+    PAD = 12
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if "id_a" not in t.column_names or t.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.string()), "id_b": pa.array([], pa.string())}
+            )
+        pad = lambda c: pc.utf8_lpad(pc.cast(c, pa.string()), PAD, "0")  # noqa: E731
+        return pa.table({"id_a": pad(t["id_a"]), "id_b": pad(t["id_b"])})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_nodes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.utf8_lpad(pc.cast(t["doc_id"], pa.string()), PAD, "0"),
+                "doc_id": t["doc_id"],
+            }
+        )
+
+    from ..state.unionfind import assign_clusters
+
+    labeled = assign_clusters(docs.map_batches(to_nodes, batch_format="pyarrow"), edges)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    return labeled.map_batches(finish, batch_format="pyarrow").sort("doc_id")

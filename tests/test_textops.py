@@ -330,3 +330,38 @@ def test_incremental_neardup_parity(tmp_path):
     res = incremental_neardup_docs(str(d)).to_pandas()
     assert list(res["doc_id"]) == [1]
     assert list(res["n_partners"]) == [1]
+
+
+def test_jaccard_cluster_transitive(tmp_path):
+    """Planted chain A~B~C (A!~C directly) must land in ONE cluster labeled
+    min(doc_id); unrelated docs stay singletons labeled themselves."""
+    from lasvdedup_ray.pipelines.textops import jaccard_cluster_docs
+
+    rng = np.random.default_rng(5)
+
+    def words(seed, n):
+        r = np.random.default_rng(seed)
+        return [f"w{int(x):05d}" for x in r.integers(0, 10**6, n)]
+
+    base = words(77, 80)
+    a = " ".join(base)
+    b = " ".join(base[20:] + words(88, 20))     # high overlap with a and c
+    c = " ".join(base[40:] + words(88, 20) + words(99, 20))
+    lone = " ".join(words(123, 80))
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 7, 11, 20], pa.int64()),
+                "text": pa.array([a, b, c, lone], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = jaccard_cluster_docs(str(d), threshold=0.3).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[20] == 20  # singleton labels itself
+    # the chain is one component labeled by its min member
+    assert got[3] == got[7] == got[11] == 3
