@@ -564,6 +564,235 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def _minhash_dedup_sql() -> str:
+    """Full SQL oracle for the FLAGSHIP ``minhash_dedup_docs`` pipeline —
+    every stage mirrored in DuckDB from the engine's own constants:
+
+    1. normalization (lower + whitespace collapse) and k-shingle hashes via
+       the shared splitmix64 chain (``functions/hashing.py``);
+    2. hash-mod shingle sampling + densified OPH signatures (128 uint32
+       slots; rotate-back fill chain == the doubling joins here);
+    3. exact-dup collapse to min(id)-per-content representatives with
+       zero-distance star edges (``stages/exact.py``);
+    4. LSH banding over the low-16-bit slots (band = 4 consecutive sig16
+       slots; equal band hash <=> equal slot tuple) among representatives
+       (``stages/lsh.py``);
+    5. emission + verification thresholds: est16 <= tau - margin_low passes,
+       (tau - margin_low, tau + margin_high] re-checked with EXACT Jaccard
+       over the full shingle sets, inclusive d <= tau (``stages/verify.py``);
+    6. connected components via recursive min-label closure, cluster label =
+       lexicographic min member id (``state/unionfind.py``);
+    7. the reference decision tree (``stages/classify.py``): Case 1
+       singleton -> SingleSequence, Case 2 all FULL-slot pairwise distances
+       <= tau -> BelowThreshold, else (m <= min_neighborhood at this scale)
+       SmallClade; rank = row_number by (|n_chars - target| ASC, n_lines
+       DESC, id ASC).
+
+    MATERIALIZED hints: the densification doubles reference the previous
+    fill level twice, so inlined CTEs would expand the upstream chain
+    2^levels times; materializing each level (and the shared hs/sigs
+    tables) keeps the oracle polynomial.
+    """
+    from lasvdedup_ray.config import ClassThresholds, LSHConfig, SignatureConfig
+
+    cfg = SignatureConfig()
+    lsh = LSHConfig()
+    th = ClassThresholds()
+    k, mod, nb, rows = cfg.k, cfg.sample_mod, cfg.num_perms, cfg.rows
+    shift_bins = 64 - int(nb).bit_length() + 1
+    tau = th.tau
+    emit_tau = tau + lsh.exact_margin_high
+    sure_tau = tau - lsh.exact_margin_low
+    tgt = th.target_length
+
+    fills = ""
+    prev = "f0"
+    s = 1
+    while s < nb:
+        cur = f"f{s}x"
+        fills += f""",
+        {cur} AS MATERIALIZED (
+            SELECT a.doc_id, a.j, coalesce(a.val, b.val) AS val
+            FROM {prev} a JOIN {prev} b
+              ON a.doc_id = b.doc_id AND b.j = (a.j - {s} + {nb}) % {nb}
+        )"""
+        prev = cur
+        s *= 2
+
+    # band-key positional weights: rows x 16-bit slots folded into one
+    # HUGEINT (exact — no hash, so no false band collisions in the oracle)
+    wt_case = " ".join(
+        f"WHEN {p} THEN {1 << (16 * p)}::HUGEINT" for p in range(rows)
+    )
+
+    return f"""
+    WITH RECURSIVE nm AS MATERIALIZED (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[ \t\r\n\f\v]+', ' ', 'g') AS txt
+        FROM documents
+    ),
+    base AS MATERIALIZED (
+        SELECT doc_id,
+               'src/' || source || ':doc_' || CAST(doc_id AS VARCHAR)
+                   || '@' || CAST(doc_id AS VARCHAR) AS id,
+               text,
+               length(text) AS n_chars,
+               length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+        FROM documents
+    ),
+    base2 AS MATERIALIZED (
+        SELECT *, min(id) OVER (PARTITION BY text) AS rep_id FROM base
+    ),
+    pos AS (
+        SELECT doc_id, txt,
+               unnest(generate_series(1, length(txt) - {k - 1})) AS i
+        FROM nm WHERE length(txt) >= {k}
+    ),
+    p0 AS (SELECT doc_id, ({_poly_sql(k, "txt")}) % {_M64} AS z FROM pos),
+    {_sm64_ctes("p0", "doc_id")},
+    hs AS MATERIALIZED (SELECT DISTINCT doc_id, z FROM smx),
+    stats AS (
+        SELECT doc_id, count(*) AS n_all,
+               sum(CASE WHEN z % {mod} = 0 THEN 1 ELSE 0 END) AS n_samp
+        FROM hs GROUP BY doc_id
+    ),
+    sel AS (
+        SELECT h.doc_id, h.z
+        FROM hs h JOIN stats s ON h.doc_id = s.doc_id
+        WHERE (s.n_all > 1 AND s.n_samp >= 1 AND h.z % {mod} = 0)
+           OR NOT (s.n_all > 1 AND s.n_samp >= 1)
+    ),
+    binned AS (
+        SELECT doc_id,
+               CAST((z // {1 << shift_bins}) % {nb} AS INTEGER) AS j,
+               CAST((z // {1 << 25}) % 4294967296 AS BIGINT) AS val
+        FROM sel
+    ),
+    slot0 AS MATERIALIZED (
+        SELECT doc_id, j, min(val) AS val FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM nm) d,
+             (SELECT unnest(generate_series(0, {nb - 1})) AS j) g
+    ),
+    f0 AS MATERIALIZED (
+        SELECT g.doc_id, g.j,
+               CASE WHEN s.val = 4294967295 THEN NULL ELSE s.val END AS val
+        FROM grid g LEFT JOIN slot0 s ON g.doc_id = s.doc_id AND g.j = s.j
+    ){fills},
+    sigs AS MATERIALIZED (SELECT doc_id, j, val FROM {prev}),
+    exact_edges AS (
+        SELECT rb.doc_id AS a, b2.doc_id AS b
+        FROM base2 b2 JOIN base2 rb ON rb.id = b2.rep_id
+        WHERE rb.doc_id <> b2.doc_id
+    ),
+    repsig AS (
+        SELECT s.doc_id, s.j, s.val % 65536 AS v16,
+               CAST(s.j // {rows} AS INTEGER) AS band, s.j % {rows} AS p
+        FROM sigs s JOIN base2 r ON r.doc_id = s.doc_id AND r.id = r.rep_id
+    ),
+    bkey AS MATERIALIZED (
+        SELECT doc_id, band,
+               sum(v16 * CASE p {wt_case} END) AS bk
+        FROM repsig GROUP BY doc_id, band
+    ),
+    cand0 AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bkey a JOIN bkey b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+    ),
+    est AS MATERIALIZED (
+        SELECT c.da, c.db,
+               1.0 - sum(CASE WHEN sa.val % 65536 = sb.val % 65536
+                              THEN 1 ELSE 0 END) / {float(nb)} AS d16
+        FROM cand0 c
+        JOIN sigs sa ON sa.doc_id = c.da
+        JOIN sigs sb ON sb.doc_id = c.db AND sb.j = sa.j
+        GROUP BY c.da, c.db
+    ),
+    bord AS (SELECT da, db FROM est WHERE d16 > {sure_tau} AND d16 <= {emit_tau}),
+    hsn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+    inter AS (
+        SELECT b.da, b.db, count(*) AS icnt
+        FROM bord b
+        JOIN hs x ON x.doc_id = b.da
+        JOIN hs y ON y.doc_id = b.db AND y.z = x.z
+        GROUP BY b.da, b.db
+    ),
+    bjacc AS (
+        SELECT b.da, b.db,
+               1.0 - CAST(coalesce(i.icnt, 0) AS DOUBLE)
+                     / (na.n + nb2.n - coalesce(i.icnt, 0)) AS dex
+        FROM bord b
+        LEFT JOIN inter i ON i.da = b.da AND i.db = b.db
+        JOIN hsn na ON na.doc_id = b.da
+        JOIN hsn nb2 ON nb2.doc_id = b.db
+    ),
+    near_edges AS (
+        SELECT da AS a, db AS b FROM est WHERE d16 <= {sure_tau}
+        UNION ALL
+        SELECT da AS a, db AS b FROM bjacc WHERE dex <= {tau}
+    ),
+    edges AS (
+        SELECT a, b FROM exact_edges UNION ALL SELECT a, b FROM near_edges
+    ),
+    bidir AS MATERIALIZED (
+        SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges
+    ),
+    reach(idn, lbl) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT r.idn, e.b FROM reach r JOIN bidir e ON e.a = r.lbl
+    ),
+    comp AS (SELECT idn AS doc_id, min(lbl) AS comp FROM reach GROUP BY idn),
+    members AS MATERIALIZED (
+        SELECT c.comp, b.doc_id, b.id, b.n_chars, b.n_lines
+        FROM comp c JOIN base2 b ON b.doc_id = c.doc_id
+    ),
+    clust AS (
+        SELECT comp, min(id) AS cluster_id, count(*) AS m
+        FROM members GROUP BY comp
+    ),
+    rk AS (
+        SELECT comp, doc_id,
+               row_number() OVER (
+                   PARTITION BY comp
+                   ORDER BY abs(n_chars - {tgt}), n_lines DESC, id
+               ) AS rank
+        FROM members
+    ),
+    cpairs AS (
+        SELECT m1.comp, m1.doc_id AS a, m2.doc_id AS b
+        FROM members m1 JOIN members m2
+          ON m1.comp = m2.comp AND m1.doc_id < m2.doc_id
+    ),
+    perpair AS (
+        SELECT p.comp, p.a, p.b,
+               1.0 - sum(CASE WHEN sa.val = sb.val THEN 1 ELSE 0 END)
+                     / {float(nb)} AS d
+        FROM cpairs p
+        JOIN sigs sa ON sa.doc_id = p.a
+        JOIN sigs sb ON sb.doc_id = p.b AND sb.j = sa.j
+        GROUP BY p.comp, p.a, p.b
+    ),
+    pairmax AS (SELECT comp, max(d) AS dmax FROM perpair GROUP BY comp)
+    SELECT m.doc_id,
+           c.cluster_id,
+           CASE WHEN c.m = 1 OR r.rank = 1 THEN 'keep' ELSE 'duplicate' END
+               AS classification,
+           CASE WHEN c.m = 1 THEN 'SingleSequence'
+                WHEN pm.dmax <= {tau} THEN 'BelowThreshold'
+                ELSE 'SmallClade' END AS decision_category,
+           (r.rank = 1) AS is_representative,
+           r.rank
+    FROM members m
+    JOIN clust c ON c.comp = m.comp
+    JOIN rk r ON r.comp = m.comp AND r.doc_id = m.doc_id
+    LEFT JOIN pairmax pm ON pm.comp = m.comp
+    ORDER BY m.doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # *_e4 / *_e6 = value quantized to int64 (x * 10^4 / 10^6, rounded half
     # away from zero) so both engines compare exact integers, never floats.
@@ -934,9 +1163,17 @@ def oracle_sql() -> dict[str, str]:
                   ) >= 0.35
             ORDER BY id_a, id_b
         """,
-        # minhash_dedup_docs / embedding_neardup_lsh / embedding_topk_ivf /
-        # common_span_pairs: sketch-, IVF- or LCS-based, not
-        # SQL-expressible — rows-only driver check; pinned by pytest
-        # oracles (embedding_topk_ivf with n_probe == n_centroids is
-        # pinned EQUAL to the exact embedding_topk).
+        # FLAGSHIP full-chain oracle: normalization -> shingle hashes ->
+        # OPH signatures -> exact collapse -> LSH bands -> est16/exact
+        # verify -> components -> decision tree, all in one DuckDB query
+        # generated from the engine's own constants.  The decision tree
+        # covers Cases 1/2/3 (the only ones reachable when every
+        # non-case-2 cluster has <= min_neighborhood members, as at the
+        # driver's scales; Case 4/5 clusters would need MAD in SQL).
+        "minhash_dedup_docs": _minhash_dedup_sql(),
+        # embedding_neardup_lsh / embedding_topk_ivf / common_span_pairs:
+        # sketch-, IVF- or LCS-based, not SQL-expressible — rows-only
+        # driver check; pinned by pytest oracles (embedding_topk_ivf with
+        # n_probe == n_centroids is pinned EQUAL to the exact
+        # embedding_topk).
     }
