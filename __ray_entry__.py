@@ -564,9 +564,18 @@ def _quality_classifier_sql() -> str:
     """
 
 
-def _minhash_dedup_sql() -> str:
+def _minhash_dedup_sql(quality_rank: bool = False) -> str:
     """Full SQL oracle for the FLAGSHIP ``minhash_dedup_docs`` pipeline —
-    every stage mirrored in DuckDB from the engine's own constants:
+    every stage mirrored in DuckDB from the engine's own constants.
+
+    ``quality_rank=True`` mirrors ``minhash_dedup_best_quality`` instead:
+    the SAME cluster chain, but each cluster's representative is chosen by
+    (|n_chars - target| ASC, quality DESC, id ASC) where quality =
+    floor(alpha_ratio * 1e6) — the engine's rank-table side-channel
+    (``pipelines/docdedup.py:72-135``) — and the output slims to
+    (doc_id, cluster_id, is_representative).
+
+    Stages:
 
     1. normalization (lower + whitespace collapse) and k-shingle hashes via
        the shared splitmix64 chain (``functions/hashing.py``);
@@ -625,6 +634,45 @@ def _minhash_dedup_sql() -> str:
         f"WHEN {p} THEN {1 << (16 * p)}::HUGEINT" for p in range(rows)
     )
 
+    if quality_rank:
+        # quality = floor(alpha_ratio * 1e6) — same float sequence as
+        # functions/text.quality_metrics + docdedup.qtable
+        qual_col = (
+            ", CAST(floor((len(regexp_extract_all(text, '[A-Za-z]')) * 1.0"
+            " / greatest(length(text), 1)) * 1000000.0) AS BIGINT) AS qual"
+        )
+        member_qual = ", b.qual"
+        rank_order = f"abs(n_chars - {tgt}), qual DESC, id"
+        final = """
+    SELECT m.doc_id,
+           c.cluster_id,
+           (r.rank = 1) AS is_representative
+    FROM members m
+    JOIN clust c ON c.comp = m.comp
+    JOIN rk r ON r.comp = m.comp AND r.doc_id = m.doc_id
+    ORDER BY m.doc_id
+    """
+    else:
+        qual_col = ""
+        member_qual = ""
+        rank_order = f"abs(n_chars - {tgt}), n_lines DESC, id"
+        final = f"""
+    SELECT m.doc_id,
+           c.cluster_id,
+           CASE WHEN c.m = 1 OR r.rank = 1 THEN 'keep' ELSE 'duplicate' END
+               AS classification,
+           CASE WHEN c.m = 1 THEN 'SingleSequence'
+                WHEN pm.dmax <= {tau} THEN 'BelowThreshold'
+                ELSE 'SmallClade' END AS decision_category,
+           (r.rank = 1) AS is_representative,
+           r.rank
+    FROM members m
+    JOIN clust c ON c.comp = m.comp
+    JOIN rk r ON r.comp = m.comp AND r.doc_id = m.doc_id
+    LEFT JOIN pairmax pm ON pm.comp = m.comp
+    ORDER BY m.doc_id
+    """
+
     return f"""
     WITH RECURSIVE nm AS MATERIALIZED (
         SELECT doc_id,
@@ -638,6 +686,7 @@ def _minhash_dedup_sql() -> str:
                text,
                length(text) AS n_chars,
                length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+               {qual_col}
         FROM documents
     ),
     base2 AS MATERIALIZED (
@@ -746,7 +795,7 @@ def _minhash_dedup_sql() -> str:
     ),
     comp AS (SELECT idn AS doc_id, min(lbl) AS comp FROM reach GROUP BY idn),
     members AS MATERIALIZED (
-        SELECT c.comp, b.doc_id, b.id, b.n_chars, b.n_lines
+        SELECT c.comp, b.doc_id, b.id, b.n_chars, b.n_lines{member_qual}
         FROM comp c JOIN base2 b ON b.doc_id = c.doc_id
     ),
     clust AS (
@@ -757,7 +806,7 @@ def _minhash_dedup_sql() -> str:
         SELECT comp, doc_id,
                row_number() OVER (
                    PARTITION BY comp
-                   ORDER BY abs(n_chars - {tgt}), n_lines DESC, id
+                   ORDER BY {rank_order}
                ) AS rank
         FROM members
     ),
@@ -776,21 +825,7 @@ def _minhash_dedup_sql() -> str:
         GROUP BY p.comp, p.a, p.b
     ),
     pairmax AS (SELECT comp, max(d) AS dmax FROM perpair GROUP BY comp)
-    SELECT m.doc_id,
-           c.cluster_id,
-           CASE WHEN c.m = 1 OR r.rank = 1 THEN 'keep' ELSE 'duplicate' END
-               AS classification,
-           CASE WHEN c.m = 1 THEN 'SingleSequence'
-                WHEN pm.dmax <= {tau} THEN 'BelowThreshold'
-                ELSE 'SmallClade' END AS decision_category,
-           (r.rank = 1) AS is_representative,
-           r.rank
-    FROM members m
-    JOIN clust c ON c.comp = m.comp
-    JOIN rk r ON r.comp = m.comp AND r.doc_id = m.doc_id
-    LEFT JOIN pairmax pm ON pm.comp = m.comp
-    ORDER BY m.doc_id
-    """
+    {final}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1171,6 +1206,8 @@ def oracle_sql() -> dict[str, str]:
         # non-case-2 cluster has <= min_neighborhood members, as at the
         # driver's scales; Case 4/5 clusters would need MAD in SQL).
         "minhash_dedup_docs": _minhash_dedup_sql(),
+        # same chain, quality-ranked representative (rank-table side path)
+        "minhash_dedup_best_quality": _minhash_dedup_sql(quality_rank=True),
         # embedding_neardup_lsh / embedding_topk_ivf / common_span_pairs:
         # sketch-, IVF- or LCS-based, not SQL-expressible — rows-only
         # driver check; pinned by pytest oracles (embedding_topk_ivf with
