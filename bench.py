@@ -56,6 +56,54 @@ def ensure_corpus(n_files: int) -> str:
     return out
 
 
+def machine_probe() -> dict:
+    """Cheap (~2 s) hardware calibration embedded in every bench JSON so
+    numbers from different rounds are comparable across VM hosts.  Round 3
+    found the sandbox VM's memory system varying by >30x between sessions
+    (first-touch page faults 0.7 s .. 42 s per 400 MB on identical code),
+    so a wall-clock number without its machine context is meaningless.
+
+    - sign_1core_files_per_sec: the flagship's signing kernel, single
+      thread, driver process (CPU + small-alloc speed)
+    - fresh_touch_gbps: first write to newly mmapped pages (page-fault
+      service rate — the dimension that degrades on lazily-restored VMs)
+    - warm_gbps: in-place stream over already-faulted memory (DRAM bw)
+    """
+    import numpy as np
+
+    from lasvdedup_ray.config import SignatureConfig
+    from lasvdedup_ray.stages.signatures import MinHashSigner
+
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    words = ["w%03d" % i for i in range(512)]
+    docs = [
+        " ".join(rng.choice(words, size=120).tolist()) for _ in range(256)
+    ]
+    t = pa.table({"content": pa.array(docs)})
+    signer = MinHashSigner(SignatureConfig())
+    signer(t.slice(0, 8))  # warm imports/JIT paths
+    t0 = time.time()
+    signer(t)
+    sign_rate = 256 / (time.time() - t0)
+
+    n = 200 * 1024 * 1024
+    t0 = time.time()
+    buf = np.empty(n, dtype=np.uint8)
+    buf[::4096] = 1  # fault every page
+    fresh = n / (time.time() - t0) / 1e9
+    t0 = time.time()
+    buf[::64] = 2  # touch every cache line, pages already resident
+    warm = (n / 64 * 64) / (time.time() - t0) / 1e9
+    del buf
+    return {
+        "sign_1core_files_per_sec": round(sign_rate, 1),
+        "fresh_touch_gbps": round(fresh, 2),
+        "warm_gbps": round(warm, 2),
+    }
+
+
 def run_bench() -> dict:
     import ray
 
@@ -146,6 +194,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "corpus_files": n_files,
         "files_per_sec": round(n_files / headline_sec, 1),
+        "machine": machine_probe(),
     }
     ray.shutdown()
     return result
@@ -339,6 +388,7 @@ def run_scaling() -> dict:
     return {
         "metric": "dedup scaling efficiency (8 -> 32 CPUs, fresh processes)",
         "value": round(eff, 3),
+        "machine": machine_probe(),
         "unit": "efficiency",
         "sec_8": t_lo,
         "sec_32": t_hi,
