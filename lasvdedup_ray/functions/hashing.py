@@ -58,6 +58,102 @@ def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(splitmix64(raw))
 
 
+def shingle_hashes_batch(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    k: int,
+    sample_mod: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-doc unique k-gram hashes for a WHOLE batch, computed over the
+    batch's concatenated utf-8 byte buffer (zero-copy from the Arrow string
+    array's data buffer).  Per-document output is bit-identical to
+    ``shingle_hashes(doc_bytes, k)`` + the ``sample_mod`` low-bits filter,
+    but the rolling polynomial runs ONCE over the whole buffer as ``k``
+    shifted multiply-adds — no per-doc Python-string materialization and no
+    (n, k) window matrix (the round-2 signer allocated ~80 B of temporaries
+    per input byte; this path allocates ~24 B).
+
+    ``buf``: uint8 view of the concatenated docs; ``starts``/``ends``:
+    per-doc byte ranges.  Returns ``(hash_concat, offsets, counts)`` in
+    ``oph_signatures``/``minhash_signatures`` layout.
+    """
+    n_docs = starts.shape[0]
+    offsets = np.empty(n_docs, dtype=np.intp)
+    counts = np.empty(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, U64), offsets, counts
+    n = buf.shape[0]
+    if n >= k:
+        # rolling polynomial by width doubling: H_{2w}(i) = H_w(i) * m^w
+        # + H_w(i+w) — log2(k)+popcount(k) passes over the buffer instead
+        # of k (and instead of the (n, k) window matrix of the per-doc
+        # kernel): ~2.6x less memory traffic at k=8
+        u = buf.astype(U64)
+        by_width = {1: u}
+        widths = [1 << b for b in range(k.bit_length()) if k & (1 << b)]
+        need = set(widths)
+        w = 1
+        while w < widths[-1]:
+            need.add(w)
+            w <<= 1
+        for w in sorted(need):
+            if w == 1 or w in by_width:
+                continue
+            half = by_width[w >> 1]
+            mw = _POLY_MULT ** U64(w >> 1)
+            ln = n - w + 1
+            by_width[w] = half[:ln] * mw + half[w >> 1 : ln + (w >> 1)]
+        acc = by_width[widths[-1]]
+        width = widths[-1]
+        for w in reversed(widths[:-1]):
+            mw = _POLY_MULT ** U64(w)
+            ln = n - (width + w) + 1
+            acc = acc[:ln] * mw + by_width[w][width : width + ln]
+            width += w
+        raw = splitmix64(acc if width == k else acc)
+    else:
+        raw = np.empty(0, U64)
+    mod_mask = U64(sample_mod - 1)
+    if sample_mod > 1 and raw.shape[0]:
+        # the low-bits sample filter commutes with np.unique (both are
+        # value-based), so filtering FIRST cuts the per-doc sort volume by
+        # ~sample_mod; keep_idx lets each doc slice its kept window
+        keep_idx = np.flatnonzero((raw & mod_mask) == 0)
+        kept = raw[keep_idx]
+    else:
+        keep_idx = kept = None
+    parts: List[np.ndarray] = []
+    pos = 0
+    mv = memoryview(buf)
+    for d in range(n_docs):
+        s, e = int(starts[d]), int(ends[d])
+        if e - s < k:
+            h = np.frombuffer(
+                hashlib.blake2b(mv[s:e], digest_size=8).digest(), dtype=U64
+            )
+            h = splitmix64(h.copy())
+            if sample_mod > 1 and h.shape[0] > 1:
+                sub = h[(h & mod_mask) == 0]
+                if sub.shape[0]:
+                    h = sub
+        elif keep_idx is not None:
+            lo, hi = np.searchsorted(keep_idx, (s, e - k + 1))
+            if hi > lo:
+                h = np.unique(kept[lo:hi])
+            else:
+                # no shingle passed the filter: keep the full unique set
+                # (matches the per-doc kernel's empty-sample fallback)
+                h = np.unique(raw[s : e - k + 1])
+        else:
+            h = np.unique(raw[s : e - k + 1])
+        parts.append(h)
+        offsets[d] = pos
+        counts[d] = h.shape[0]
+        pos += h.shape[0]
+    return np.concatenate(parts), offsets, counts
+
+
 def minhash_permutation_params(num_perms: int, seed: int) -> Tuple[np.ndarray, np.ndarray]:
     """(a, b) parameters for ``num_perms`` multiplicative-universal hashes
     over Z_{2^64} (odd multipliers; natural uint64 wraparound — the standard
@@ -154,10 +250,13 @@ def simhash_from_sigs(signatures: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=U64)
     h = splitmix64(signatures.astype(U64))
-    shifts = np.arange(64, dtype=U64)
-    bits = ((h[:, :, None] >> shifts[None, None, :]) & U64(1)).astype(np.int32)
-    sums = bits.sum(axis=1)  # (n, 64)
+    # byte-view + unpackbits: (n, perms, 64) uint8 instead of an int32 shift
+    # matrix — 4x less memory traffic.  On little-endian hardware byte j//8
+    # unpacked LSB-first puts bit j of the word at column j exactly.
+    bits = np.unpackbits(h.view(np.uint8).reshape(n, h.shape[1], 8), axis=-1, bitorder="little")
+    sums = bits.sum(axis=1, dtype=np.int32)  # (n, 64) bit j at column j
     majority = (2 * sums) > signatures.shape[1]
+    shifts = np.arange(64, dtype=U64)
     weights = (U64(1) << shifts).astype(U64)
     return (majority.astype(U64) * weights[None, :]).sum(axis=1, dtype=U64)
 
@@ -176,10 +275,12 @@ def simhash_values(
     n_docs = offsets.shape[0]
     if hash_concat.shape[0] == 0:
         return np.zeros(n_docs, dtype=U64)
-    shifts = np.arange(64, dtype=U64)
-    bits = ((hash_concat[:, None] >> shifts[None, :]) & U64(1)).astype(np.int32)
+    bits = np.unpackbits(
+        hash_concat.view(np.uint8).reshape(-1, 8), axis=-1, bitorder="little"
+    ).astype(np.int32)  # (total, 64), bit j at column j (little-endian host)
     sums = np.add.reduceat(bits, offsets, axis=0)  # (n_docs, 64)
     majority = (2 * sums) > counts[:, None]
+    shifts = np.arange(64, dtype=U64)
     weights = (U64(1) << shifts).astype(U64)
     return (majority.astype(U64) * weights[None, :]).sum(axis=1, dtype=U64)
 

@@ -22,10 +22,32 @@ from ..functions.hashing import (
     minhash_signatures,
     oph_signatures,
     shingle_hashes,
+    shingle_hashes_batch,
     simhash_from_sigs,
     simhash_values,
 )
 from ..functions.text import normalize_for_shingling
+
+
+def _string_array_bytes(
+    arr: pa.Array,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(uint8 data buffer, per-row byte starts, per-row byte ends) of an
+    Arrow string/large_string array — zero-copy views into Arrow memory.
+    Nulls become empty ranges."""
+    if arr.null_count:
+        arr = arr.fill_null("")
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offs[:-1], offs[1:]
 
 # cap on concatenated shingle hashes per vectorized minhash call: bounds the
 # (perm_chunk x total) intermediate to ~64 MiB regardless of batch size
@@ -92,10 +114,30 @@ class MinHashSigner:
         norm = normalize_for_shingling(t["content"], cfg.lowercase, cfg.collapse_ws)
         if isinstance(norm, pa.ChunkedArray):
             norm = norm.combine_chunks()
-        docs = [s.encode("utf-8") for s in norm.to_pylist()]
-        sigs, sims, counts = compute_signatures(docs, cfg, self.a, self.b)
+        if cfg.scheme == "oph":
+            # zero-copy: shingle straight off the Arrow utf-8 data buffer
+            # (no per-row Python strings, no encode round-trip)
+            buf, starts, ends = _string_array_bytes(norm)
+            hashes, offsets, counts = shingle_hashes_batch(
+                buf, starts, ends, cfg.k, sample_mod=getattr(cfg, "sample_mod", 1)
+            )
+            sigs = oph_signatures(hashes, offsets, counts, cfg.num_perms)
+            sims = simhash_from_sigs(sigs)
+        else:
+            docs = [s.encode("utf-8") for s in norm.to_pylist()]
+            sigs, sims, counts = compute_signatures(docs, cfg, self.a, self.b)
+        # one flat copy + an offsets buffer instead of n per-row bytes
+        # objects: large_binary built directly from the (n, num_perms)
+        # uint32 matrix's contiguous memory
+        row_bytes = sigs.shape[1] * sigs.dtype.itemsize
+        blob_offs = np.arange(sigs.shape[0] + 1, dtype=np.int64) * row_bytes
         t = t.append_column(
-            "minhash", pa.array([s.tobytes() for s in sigs], pa.large_binary())
+            "minhash",
+            pa.Array.from_buffers(
+                pa.large_binary(),
+                sigs.shape[0],
+                [None, pa.py_buffer(blob_offs.tobytes()), pa.py_buffer(np.ascontiguousarray(sigs).tobytes())],
+            ),
         )
         t = t.append_column("simhash", pa.array(sims, pa.uint64()))
         t = t.append_column("n_shingles", pa.array(counts, pa.int64()))

@@ -150,3 +150,53 @@ def test_extract_group_key_regex():
     )
     out = extract_group_key(names, "sample[A-Z]").to_pylist()
     assert out == ["sampleA", "sampleA", "sampleB", None]
+
+
+def test_shingle_hashes_batch_matches_per_doc():
+    # The zero-copy batched kernel must be BIT-identical to the per-doc
+    # kernel (SQL oracles and path-equivalence tests pin signature values).
+    import pyarrow as pa
+
+    from lasvdedup_ray.functions.hashing import shingle_hashes_batch
+    from lasvdedup_ray.stages.signatures import _string_array_bytes
+
+    docs = [
+        "the quick brown fox jumps over the lazy dog",
+        "",                      # empty -> blake2b path
+        "tiny",                  # shorter than k -> blake2b path
+        "aaaaaaaaaaaaaaaa",      # repeated shingles -> unique() collapse
+        "pack my box with five dozen liquor jugs",
+        "exactly8",              # len == k boundary
+        "éé café naïve ü",  # multi-byte utf-8
+    ]
+    for k in (3, 5, 7, 8, 12):   # powers of two AND odd widths
+        for mod in (1, 4):
+            arr = pa.array(docs, pa.string())
+            buf, starts, ends = _string_array_bytes(arr)
+            hc, offs, cnts = shingle_hashes_batch(buf, starts, ends, k, sample_mod=mod)
+            assert offs.shape[0] == len(docs)
+            for i, d in enumerate(docs):
+                expect = shingle_hashes(d.encode("utf-8"), k)
+                if mod > 1 and expect.shape[0] > 1:
+                    sub = expect[(expect & np.uint64(mod - 1)) == 0]
+                    if sub.shape[0]:
+                        expect = sub
+                got = hc[offs[i] : offs[i] + cnts[i]]
+                np.testing.assert_array_equal(got, expect, err_msg=f"k={k} mod={mod} doc={i}")
+
+
+def test_shingle_hashes_batch_large_string_and_sliced():
+    # large_string offsets (int64) and a sliced array (non-zero arr.offset)
+    import pyarrow as pa
+
+    from lasvdedup_ray.functions.hashing import shingle_hashes_batch
+    from lasvdedup_ray.stages.signatures import _string_array_bytes
+
+    docs = ["alpha beta gamma delta", "epsilon zeta eta theta", "iota kappa"]
+    arr = pa.array(docs, pa.large_string()).slice(1)  # drop first row
+    buf, starts, ends = _string_array_bytes(arr)
+    hc, offs, cnts = shingle_hashes_batch(buf, starts, ends, 8)
+    for i, d in enumerate(docs[1:]):
+        np.testing.assert_array_equal(
+            hc[offs[i] : offs[i] + cnts[i]], shingle_hashes(d.encode(), 8)
+        )
