@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..config import ClassThresholds, PipelineConfig
-from .signatures import sigs_to_matrix
+from .signatures import sig_matrix_from_column
 
 RESULT_FIELDS = [
     ("id", pa.string()),
@@ -177,7 +177,7 @@ def make_cluster_classifier(config: PipelineConfig):
         if m <= 1:
             return out([KEEP] * m, SINGLE, ["Single sequence in cluster"] * m, 0)
 
-        sigs = sigs_to_matrix(g.column("minhash").to_pylist(), sig_cfg.num_perms)
+        sigs = sig_matrix_from_column(g.column("minhash"), sig_cfg.num_perms)
         best_id = str(ids[best_idx])
         # distance to the best-ranked representative (reused by Case 4);
         # normalized Hamming distance over signature slots is a true metric

@@ -30,7 +30,7 @@ from ray.data.aggregate import Count, Min
 
 from ..config import LSHConfig, SignatureConfig
 from ..functions.hashing import band_hashes, splitmix64 as _smx64
-from .signatures import sigs_to_matrix
+from .signatures import sig_matrix_from_column, sigs_to_matrix
 
 # worker-process-level caches for broadcast side data (hot-bucket keys and
 # the hash-indexed signature store) — ray.get once per worker, not per batch
@@ -75,8 +75,7 @@ def make_band_emitter(cfg: SignatureConfig):
                     "simhash": pa.array([], pa.uint64()),
                 }
             )
-        blobs = t.column("minhash").to_pylist()
-        sigs = sigs_to_matrix(blobs, num_perms)
+        sigs = sig_matrix_from_column(t.column("minhash"), num_perms)
         sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
         # banding over the sig16 slots (consistent across every plan and
         # with the driver-side hot-set derivation): a band whose low-16
@@ -183,7 +182,7 @@ def _make_store_row_fn(sig_cfg: SignatureConfig):
 
     def to_store_rows(t: pa.Table) -> pa.Table:
         ids_b = np.asarray(t.column("id").to_pylist(), dtype=object)
-        sigs_b = sigs_to_matrix(t.column("minhash").to_pylist(), np_)
+        sigs_b = sig_matrix_from_column(t.column("minhash"), np_)
         s16 = np.ascontiguousarray((sigs_b & np.uint32(0xFFFF)).astype(np.uint16))
         sig_arr = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(np_ * 2), len(ids_b), [None, pa.py_buffer(s16.tobytes())]
@@ -365,7 +364,7 @@ def _make_slim_band_emitter(sig_cfg: SignatureConfig, num_partitions: int, hot_r
         n = t.num_rows
         if n == 0:
             return SLIM_BAND_SCHEMA.empty_table()
-        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
+        sigs = sig_matrix_from_column(t.column("minhash"), sig_cfg.num_perms)
         sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
         bh = band_hashes(sig16, bands, rows)  # (n, bands)
         band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
@@ -714,7 +713,7 @@ def candidate_pairs(
             return pa.table(
                 {"pkey": pa.array([], pa.int32()), "ckey": pa.array([], pa.uint64())}
             )
-        sigs = sigs_to_matrix(t.column("minhash").to_pylist(), sig_cfg.num_perms)
+        sigs = sig_matrix_from_column(t.column("minhash"), sig_cfg.num_perms)
         sig16 = (sigs & np.uint32(0xFFFF)).astype(np.uint16)
         bh = band_hashes(sig16, bands, rows)
         band_idx = np.tile(np.arange(bands, dtype=np.int64), n)

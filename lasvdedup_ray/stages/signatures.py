@@ -180,3 +180,27 @@ def sigs_to_matrix(blobs: List[bytes], num_perms: int) -> np.ndarray:
     if not blobs:
         return np.empty((0, num_perms), dtype=np.uint32)
     return np.frombuffer(b"".join(blobs), dtype=np.uint32).reshape(len(blobs), num_perms)
+
+
+def sig_matrix_from_column(
+    col: pa.Array | pa.ChunkedArray, num_perms: int
+) -> np.ndarray:
+    """(n, num_perms) uint32 signature matrix as a VIEW over the Arrow
+    binary column's data buffer — no per-row bytes objects, no join copy.
+    Falls back to ``sigs_to_matrix`` for non-contiguous/null layouts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, num_perms), dtype=np.uint32)
+    row_bytes = num_perms * 4
+    if col.null_count == 0:
+        bufs = col.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        offs = np.frombuffer(bufs[1], dtype=off_dtype)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        if bool(np.all(np.diff(offs) == row_bytes)):
+            data = np.frombuffer(bufs[2], dtype=np.uint8)[offs[0] : offs[-1]]
+            return data.view(np.uint32).reshape(n, num_perms)
+    return sigs_to_matrix(col.to_pylist(), num_perms)

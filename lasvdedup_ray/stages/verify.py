@@ -124,11 +124,10 @@ def attach_pair_contents(
     if n <= driver_cap:
         pdf = pairs.to_pandas()
         needed = set(pdf["id_a"]) | set(pdf["id_b"])
-        id_ref = ray.put(needed)
+        id_ref = ray.put(pa.array(sorted(needed)))
 
         def grab(t: pa.Table) -> pa.Table:
-            want = ray.get(id_ref)
-            return t.filter(pa.array([i in want for i in t[id_col].to_pylist()]))
+            return t.filter(pc.is_in(t[id_col], value_set=ray.get(id_ref)))
 
         sub = content.map_batches(grab, batch_format="pyarrow").to_pandas()
         # a pair with an endpoint absent from the content table is DROPPED —
@@ -261,12 +260,10 @@ def verify_pairs(
         # the cap; distributed joins would add two shuffles of latency)
         bdf = border.to_pandas()
         needed = set(bdf["id_a"]) | set(bdf["id_b"])
-        id_ref = ray.put(needed)
+        id_ref = ray.put(pa.array(sorted(needed)))
 
         def grab(t: pa.Table) -> pa.Table:
-            want = ray.get(id_ref)
-            mask = pa.array([i in want for i in t["id"].to_pylist()])
-            return t.filter(mask)
+            return t.filter(pc.is_in(t["id"], value_set=ray.get(id_ref)))
 
         sub = content_by_id.map_batches(grab, batch_format="pyarrow").to_pandas()
         content_map = dict(zip(sub["id"], sub["content"]))
