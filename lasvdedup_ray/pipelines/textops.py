@@ -1000,25 +1000,17 @@ def simhash_near_pairs(
         # signer produces are pure waste here.  Full-fidelity SimHash over
         # the raw shingle hashes (simhash_values), same normalization and
         # hash-mod shingle sampling as the flagship signer.
-        from ..functions.hashing import shingle_hashes, simhash_values
+        from ..functions.hashing import shingle_hashes_batch, simhash_values
         from ..functions.text import normalize_for_shingling
+        from ..stages.signatures import _string_array_bytes
 
         norm = normalize_for_shingling(t["text"], cfg.lowercase, cfg.collapse_ws)
         if isinstance(norm, pa.ChunkedArray):
             norm = norm.combine_chunks()
-        arrays = []
-        for s in norm.to_pylist():
-            h = shingle_hashes(s.encode("utf-8"), cfg.k)
-            if cfg.sample_mod > 1 and h.shape[0] > 1:
-                sub = h[(h & np.uint64(cfg.sample_mod - 1)) == 0]
-                if sub.shape[0]:
-                    h = sub
-            arrays.append(h)
-        cnts = np.array([a.shape[0] for a in arrays], dtype=np.int64)
-        concat = (
-            np.concatenate(arrays) if arrays else np.empty(0, np.uint64)
+        buf, starts, ends = _string_array_bytes(norm)
+        concat, offsets, cnts = shingle_hashes_batch(
+            buf, starts, ends, cfg.k, sample_mod=cfg.sample_mod
         )
-        offsets = np.concatenate(([0], np.cumsum(cnts[:-1]))).astype(np.intp)
         sims = simhash_values(concat, offsets, cnts)
         return pa.table({"doc_id": t["doc_id"], "simhash": pa.array(sims, pa.uint64())})
 
