@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_docs": textops.incremental_dedup_docs,
         "normalized_dedup_docs": textops.normalized_dedup_docs,
         "vocab_top_tokens": textops.vocab_top_tokens,
+        "bm25_topk": textops.bm25_topk,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "jaccard_cluster_docs": textops.jaccard_cluster_docs,
@@ -501,6 +502,68 @@ def _span_dedup_sql() -> str:
         FROM documents d
         JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+    """
+
+
+def _bm25_sql() -> str:
+    """Mirror of textops.bm25_topk: Lucene "+1" idf, identical tokenization
+    (lower, single-space split, empties dropped), identical quantization
+    (floor(score*1e6 + 0.5) — scores are non-negative with the +1 idf),
+    identical top-k tie-break (score_e6 desc, doc_id asc)."""
+    from lasvdedup_ray.pipelines.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+    )
+
+    qvals = ", ".join(
+        f"({qid}, '{w}')"
+        for qid in sorted(BM25_QUERIES)
+        for w in BM25_QUERIES[qid]
+    )
+    return f"""
+        WITH q(query_id, tok) AS (VALUES {qvals}),
+        toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), toks2 AS (
+            SELECT doc_id, tok FROM toks WHERE tok <> ''
+        ), stats AS (
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   (SELECT count(*) FROM toks2) * 1.0
+                       / (SELECT count(*) FROM documents) AS avgdl
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks2 GROUP BY doc_id
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM toks2
+            WHERE tok IN (SELECT DISTINCT tok FROM q)
+            GROUP BY doc_id, tok
+        ), df AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf * ({BM25_K1} + 1.0)
+                       / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * dl.dl / stats.avgdl)) AS c
+            FROM tf
+            JOIN df USING (tok)
+            JOIN dl USING (doc_id)
+            JOIN q ON q.tok = tf.tok
+            CROSS JOIN stats
+        ), scored AS (
+            SELECT query_id, doc_id,
+                   CAST(floor(sum(c) * 1e6 + 0.5) AS BIGINT) AS score_e6
+            FROM contrib GROUP BY query_id, doc_id
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score_e6 DESC, doc_id
+            ) AS rn FROM scored
+        )
+        SELECT query_id, doc_id, score_e6 FROM ranked
+        WHERE rn <= {BM25_TOP_K}
+        ORDER BY query_id, score_e6 DESC, doc_id
     """
 
 
@@ -1121,6 +1184,7 @@ def oracle_sql() -> dict[str, str]:
         # C4-style span dedup: the window size mirrors
         # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)
         "span_dedup_docs": _span_dedup_sql(),
+        "bm25_topk": _bm25_sql(),
         "shuffle_export_docs": _shuffle_export_sql(),
         "distinct_users_daily": """
             -- epoch_us // : integer floor (epoch(ts)::BIGINT ROUNDS and

@@ -159,6 +159,184 @@ def vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
     return agg.sort(["n", "tok"], descending=[True, False]).limit(VOCAB_TOP_K)
 
 
+# BM25 ranked retrieval constants — query semantics, mirrored verbatim in
+# the SQL oracle (Lucene/"+1" idf variant so idf stays positive even for
+# terms present in most documents)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: dict = {
+    1: ("hash", "join", "merge"),
+    2: ("sort", "stream", "window"),
+    3: ("customer", "query", "table"),
+}
+
+
+def bm25_topk(sf_dir: str) -> ray.data.Dataset:
+    """BM25 ranked search: top-``BM25_TOP_K`` documents per query from
+    ``BM25_QUERIES`` (the retrieval / data-selection op of a training-data
+    pipeline — e.g. picking documents matching a benchmark's topic mix).
+
+    Scale shape: ONE tokenizing scan emits slim per-batch partials only —
+    (doc_id, tok, tf, dl) rows for query terms (bounded by n_docs x
+    n_query_terms) plus one stats row per batch (sum_dl, n_docs) — the
+    text never rides an exchange.  Corpus stats (N, avgdl, per-term df)
+    reduce to a handful of numbers on the driver and are closed into the
+    score function; scoring, the (query, doc) sum, and per-query top-k all
+    run over the slim tf table.  Ranking uses the QUANTIZED score
+    (micro-units, _q6 semantics) with a doc_id tie-break so both engines
+    select identical winners regardless of last-ulp float drift."""
+    terms = sorted({w for q in BM25_QUERIES.values() for w in q})
+    term_arr = pa.array(terms, pa.string())
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def tf_partials(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        flat = pc.list_flatten(toks_list)
+        parent = pc.list_parent_indices(toks_list)
+        tb = pa.table(
+            {"doc_id": t["doc_id"].take(parent), "tok": flat}
+        ).filter(pc.not_equal(flat, ""))
+        # per-doc token count (docs with zero tokens still count toward
+        # n_docs below; they just have no dl row and no tf rows)
+        dl_t = tb.group_by("doc_id").aggregate([("tok", "count")])
+        dl_ids = dl_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_n = dl_t["tok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(dl_ids)
+        dl_ids, dl_n = dl_ids[order], dl_n[order]
+        # tf rows for query terms only
+        tf_t = (
+            tb.filter(pc.is_in(tb["tok"], value_set=term_arr))
+            .group_by(["doc_id", "tok"])
+            .aggregate([("tok", "count")])
+        )
+        ids = tf_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dl_of = dl_n[np.searchsorted(dl_ids, ids)]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, [-1]]), pa.int64()
+                ),
+                "tok": pa.concat_arrays(
+                    [tf_t["tok"].combine_chunks(), pa.array([""], pa.string())]
+                ),
+                "tf": pa.array(
+                    np.concatenate(
+                        [
+                            tf_t["tok_count"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64),
+                            [int(dl_n.sum())],  # stats row: batch token total
+                        ]
+                    ),
+                    pa.int64(),
+                ),
+                "dl": pa.array(
+                    np.concatenate([dl_of, [t.num_rows]]), pa.int64()
+                ),  # stats row: batch doc count
+            }
+        )
+
+    slim = ds.map_batches(tf_partials, batch_format="pyarrow").materialize()
+
+    # driver reduce: a handful of numbers (one stats row per batch + <=9 dfs)
+    stats = slim.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], -1)), batch_format="pyarrow"
+    ).take_all()
+    n_docs = int(sum(r["dl"] for r in stats))
+    sum_dl = int(sum(r["tf"] for r in stats))
+    avgdl = sum_dl / max(n_docs, 1)
+    tf_ds = slim.map_batches(
+        lambda t: t.filter(pc.not_equal(t["tok"], "")), batch_format="pyarrow"
+    )
+    dfs = (
+        tf_ds.groupby("tok").aggregate(Count(alias_name="df")).take_all()
+    )
+    idf = {
+        r["tok"]: float(
+            np.log(1.0 + (n_docs - r["df"] + 0.5) / (r["df"] + 0.5))
+        )
+        for r in dfs
+    }
+    # per-term lookup tables, closed into the score fn (broadcast once per
+    # task by Ray, a few hundred bytes): idf[t], and the flattened
+    # term -> [qid...] expansion (offsets + flat qids) for vectorized repeat
+    terms_np = np.array(terms)
+    idf_np = np.array([idf.get(w, 0.0) for w in terms], np.float64)
+    qid_lists = [
+        [qid for qid, qterms in sorted(BM25_QUERIES.items()) if w in qterms]
+        for w in terms
+    ]
+    qid_counts = np.array([len(l) for l in qid_lists], np.int64)
+    qid_offsets = np.concatenate([[0], np.cumsum(qid_counts)])
+    qid_flat = np.array(
+        [q for l in qid_lists for q in l] or [0], np.int64
+    )
+
+    def contributions(t: pa.Table) -> pa.Table:
+        codes = np.searchsorted(
+            terms_np, t["tok"].to_numpy(zero_copy_only=False)
+        )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        contrib = idf_np[codes] * tf * (BM25_K1 + 1.0) / denom
+        # expand each tf row to one row per query containing its term
+        cnt = qid_counts[codes]
+        rep = np.repeat(np.arange(len(codes)), cnt)
+        within = np.arange(int(cnt.sum())) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        out_q = qid_flat[qid_offsets[codes][rep] + within]
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "doc_id": pa.array(ids[rep], pa.int64()),
+                "contrib": pa.array(contrib[rep], pa.float64()),
+            }
+        )
+
+    scored = (
+        tf_ds.map_batches(contributions, batch_format="pyarrow")
+        .groupby(["query_id", "doc_id"])
+        .aggregate(Sum("contrib", alias_name="score"))
+    )
+
+    def quantize_scores(t: pa.Table) -> pa.Table:
+        s = t["score"].to_numpy(zero_copy_only=False)
+        q = np.where(s >= 0, np.floor(s * 1e6 + 0.5), np.ceil(s * 1e6 - 0.5))
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "doc_id": t["doc_id"],
+                "score_e6": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        sc = g["score_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.lexsort((ids, -sc))[:BM25_TOP_K]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(sel)),
+                "doc_id": pa.array(ids[sel], pa.int64()),
+                "score_e6": pa.array(sc[sel], pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(quantize_scores, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["query_id", "score_e6", "doc_id"], descending=[False, True, False])
+    )
+
+
 def normalized_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     """CCNet/C4-style normalized dedup: lowercase, replace every run of
     non-[a-z0-9 ] with a space, collapse space runs, trim — then exact

@@ -365,3 +365,71 @@ def test_jaccard_cluster_transitive(tmp_path):
     assert got[20] == 20  # singleton labels itself
     # the chain is one component labeled by its min member
     assert got[3] == got[7] == got[11] == 3
+
+
+def test_bm25_topk_matches_bruteforce(tmp_path):
+    """bm25_topk matches a plain-Python BM25 reference (same +1-idf
+    variant, same tokenization, same e6 quantization, same tie-break)
+    on a planted corpus exercising tf saturation and length norm."""
+    import math
+
+    from lasvdedup_ray.pipelines.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+        bm25_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    terms = sorted({w for q in BM25_QUERIES.values() for w in q})
+    filler = [f"f{i:03d}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        words = list(rng.choice(filler, size=int(rng.integers(5, 80))))
+        # plant query terms with varying tf so ranks differ
+        for t in terms:
+            words += [t] * int(rng.integers(0, 4))
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    docs.append("")  # empty doc: counts toward N, no tokens
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    # brute-force reference
+    toks = [[w for w in t.lower().split(" ") if w] for t in docs]
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks) / N
+    df = {w: sum(w in t for t in toks) for w in terms}
+    expected = {}
+    for qid, qterms in BM25_QUERIES.items():
+        scores = []
+        for i, t in enumerate(toks):
+            s = 0.0
+            for w in qterms:
+                tf = t.count(w)
+                if tf == 0 or df[w] == 0:
+                    continue
+                idf = math.log(1.0 + (N - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(t) / avgdl)
+                )
+            if s > 0.0:
+                scores.append((int(math.floor(s * 1e6 + 0.5)), i))
+        scores.sort(key=lambda p: (-p[0], p[1]))
+        expected[qid] = scores[:BM25_TOP_K]
+
+    out = bm25_topk(str(d)).to_pandas()
+    for qid in BM25_QUERIES:
+        sub = out[out["query_id"] == qid]
+        got = list(zip(sub["score_e6"], sub["doc_id"]))
+        assert got == expected[qid], f"query {qid}"
