@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": relational.user_sessions,
         "distinct_users_daily": relational.distinct_users_daily,
         "event_debounce": relational.event_debounce,
+        "event_funnel": relational.event_funnel,
+        "hll_distinct_users": relational.hll_distinct_users,
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
         "brand_revenue": relational.brand_revenue,
@@ -502,6 +504,57 @@ def _span_dedup_sql() -> str:
         FROM documents d
         JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+    """
+
+
+def _funnel_sql() -> str:
+    """Mirror of relational.event_funnel: per-stage first-completion times
+    as a chain of min-ts joins with the engine's strict ``ts > prev``
+    advancement rule."""
+    from lasvdedup_ray.pipelines.relational import FUNNEL_STAGES
+
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM events"
+        f" WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+    ]
+    for k in range(1, len(FUNNEL_STAGES)):
+        ctes.append(
+            f"s{k + 1} AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+            f" JOIN s{k} USING (user_id)"
+            f" WHERE e.event_type = '{FUNNEL_STAGES[k]}' AND e.ts > s{k}.t"
+            f" GROUP BY e.user_id)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS stage,"
+        f" '{stage}' AS event_type,"
+        f" (SELECT count(*) FROM s{k + 1}) AS n_users"
+        for k, stage in enumerate(FUNNEL_STAGES)
+    )
+    return f"WITH {', '.join(ctes)} SELECT * FROM ({selects}) ORDER BY stage"
+
+
+def _hll_sql() -> str:
+    """Mirror of relational.hll_distinct_users: the same splitmix64 chain
+    over user_id, register = low HLL_P bits, rho = 59 - bit_length of the
+    58-bit window (DuckDB ``length(bin(w))``)."""
+    from lasvdedup_ray.pipelines.relational import HLL_M, HLL_P
+
+    wmax_bits = 64 - HLL_P + 1
+    return f"""
+        WITH p0 AS (
+            SELECT event_type, user_id::HUGEINT AS z FROM events
+        ),
+        {_sm64_ctes("p0", "event_type")},
+        r AS (
+            SELECT event_type,
+                   CAST(z % {HLL_M} AS BIGINT) AS register,
+                   {wmax_bits} - CASE WHEN z // {HLL_M} = 0 THEN 0
+                        ELSE length(bin(z // {HLL_M})) END AS rho
+            FROM smx
+        )
+        SELECT event_type, register, CAST(max(rho) AS BIGINT) AS rho
+        FROM r GROUP BY event_type, register
+        ORDER BY event_type, register
     """
 
 
@@ -1198,6 +1251,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
         "event_debounce": _debounce_sql(),
+        "event_funnel": _funnel_sql(),
+        "hll_distinct_users": _hll_sql(),
         "ngram_jaccard_pairs": _ngram_pairs_sql(),
         # single-linkage clustering over the SAME exact-Jaccard pair
         # universe: recursive min-label transitive closure == the engine's

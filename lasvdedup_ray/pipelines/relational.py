@@ -898,3 +898,173 @@ def event_debounce(sf_dir: str) -> ray.data.Dataset:
         )
         .sort(["user_id", "event_type", "ts_s", "event_id"])
     )
+
+
+# ---- funnel analysis --------------------------------------------------------
+FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+FUNNEL_PARTITIONS = 64
+
+
+def event_funnel(sf_dir: str) -> ray.data.Dataset:
+    """Ordered funnel: how many users completed each prefix of
+    ``FUNNEL_STAGES`` with STRICTLY increasing timestamps (stage k+1 must
+    occur after the user's earliest valid stage-k time — the standard
+    product-analytics funnel).
+
+    Scale shape: ONE hash-partition shuffle on ``user_id % P`` over a
+    3-column pruned read, a fully vectorized within-partition pass (lexsort
+    + np.minimum.at per stage — no per-user Python), then each partition
+    emits exactly ``len(FUNNEL_STAGES)`` partial-count rows, so the final
+    exchange carries P x stages slim rows.  Mirrored in SQL as a chain of
+    min-ts joins (``oracle_sql``)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    stage_arr = pa.array(FUNNEL_STAGES, pa.string())
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=stage_arr))
+        pk = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(FUNNEL_PARTITIONS - 1)),
+            pa.int32(),
+        )
+        return t.append_column("pkey", pk)
+
+    def funnel_partition(t: pa.Table) -> pa.Table:
+        stages = np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64)
+        if t.num_rows == 0:
+            counts = np.zeros(len(FUNNEL_STAGES), np.int64)
+        else:
+            uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ts = (
+                t["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            ety = t["event_type"].to_numpy(zero_copy_only=False)
+            users, uidx = np.unique(uid, return_inverse=True)
+            cur = np.full(len(users), -np.inf)
+            counts = np.zeros(len(FUNNEL_STAGES), np.int64)
+            for k, stage in enumerate(FUNNEL_STAGES):
+                nxt = np.full(len(users), np.inf)
+                m = (ety == stage) & (ts > cur[uidx])
+                np.minimum.at(nxt, uidx[m], ts[m])
+                cur = nxt
+                counts[k] = int(np.isfinite(cur).sum())
+        return pa.table(
+            {
+                "stage": pa.array(stages, pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: funnel_partition(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
+        .groupby("stage")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+    def name_stages(t: pa.Table) -> pa.Table:
+        st = t["stage"].to_numpy(zero_copy_only=False).astype(np.int64)
+        names = np.array(FUNNEL_STAGES)[st - 1]
+        return pa.table(
+            {
+                "stage": t["stage"],
+                "event_type": pa.array(list(names), pa.string()),
+                "n_users": t["n_users"],
+            }
+        )
+
+    return agg.map_batches(name_stages, batch_format="pyarrow").sort("stage")
+
+
+# ---- HyperLogLog distinct sketch -------------------------------------------
+HLL_P = 6  # 2^6 = 64 registers per key
+HLL_M = 1 << HLL_P
+
+
+def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
+    """HyperLogLog register table: per event_type, the 64-register HLL
+    sketch of distinct user_ids (splitmix64 hash; register = low
+    ``HLL_P`` bits, rho = leading-zero rank of the remaining 58-bit
+    window).  Emitting the REGISTERS (exact integers) rather than the
+    float estimate keeps the SQL-oracle comparison drift-free; the
+    estimator itself (and its accuracy vs exact distinct) is pinned in
+    ``tests/test_relational_plans.py`` via :func:`hll_estimate`.
+
+    Scale shape: the canonical mergeable-sketch plan — each batch folds
+    its rows into at most ``types x 64`` (event_type, register, rho)
+    partials, the only exchange is a groupby-max over those slim rows, and
+    register tables merge by elementwise max (associative, so this extends
+    to incremental / multi-day corpora for free)."""
+    from ..functions.hashing import splitmix64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "register": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = splitmix64(uid.copy())
+        reg = (z & np.uint64(HLL_M - 1)).astype(np.int64)
+        w = z >> np.uint64(HLL_P)
+        # vectorized bit_length of the 58-bit window
+        bl = np.zeros(len(w), np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            m = (v >> np.uint64(s)) > 0
+            bl[m] += s
+            v[m] >>= np.uint64(s)
+        bl += (v > 0).astype(np.int64)
+        rho = (64 - HLL_P + 1) - bl
+        ety_codes, ety_inv = np.unique(
+            t["event_type"].to_numpy(zero_copy_only=False), return_inverse=True
+        )
+        key = ety_inv * HLL_M + reg
+        mx = np.full(len(ety_codes) * HLL_M, -1, np.int64)
+        np.maximum.at(mx, key, rho)
+        hit = np.flatnonzero(mx >= 0)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    list(ety_codes[hit // HLL_M]), pa.string()
+                ),
+                "register": pa.array(hit % HLL_M, pa.int64()),
+                "rho": pa.array(mx[hit], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["event_type", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .sort(["event_type", "register"])
+    )
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator (Flajolet et al. 2007) over one key's dense
+    register vector (0 = empty register), with the small-range
+    linear-counting correction."""
+    m = HLL_M
+    alpha = 0.709 if m == 64 else 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / float(np.sum(np.exp2(-registers.astype(np.float64))))
+    zeros = int(np.sum(registers == 0))
+    if e <= 2.5 * m and zeros:
+        return m * float(np.log(m / zeros))
+    return e

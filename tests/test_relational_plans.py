@@ -32,3 +32,95 @@ def test_q5_distributed_plan_matches_broadcast():
     bc = _canon(q5_nation_revenue(SF_DIR))
     dist = _canon(q5_nation_revenue(SF_DIR, broadcast_budget=0))
     pd.testing.assert_frame_equal(bc, dist)
+
+
+def test_event_funnel_matches_bruteforce(tmp_path):
+    """event_funnel matches a per-user Python scan on a planted events
+    table with strict-inequality edge cases (equal timestamps must NOT
+    advance the funnel; out-of-order stages must not count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.relational import FUNNEL_STAGES, event_funnel
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for uid in range(40):
+        n = int(rng.integers(1, 12))
+        for _ in range(n):
+            rows.append(
+                (
+                    uid,
+                    int(rng.integers(0, 10**6)),
+                    FUNNEL_STAGES[int(rng.integers(0, len(FUNNEL_STAGES)))],
+                )
+            )
+    # planted edge cases: same-timestamp pair (no advance), full clean funnel
+    rows += [(100, 10, "signup"), (100, 10, "view")]          # tie: stage 1 only
+    rows += [(101, t * 10, s) for t, s in enumerate(FUNNEL_STAGES, 1)]  # full
+    rows += [(102, 50, "view"), (102, 60, "signup")]           # wrong order: 1
+    uid_a = np.array([r[0] for r in rows], np.int64)
+    ts_a = np.array([r[1] for r in rows], "datetime64[us]")
+    ty_a = np.array([r[2] for r in rows])
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(uid_a, pa.int64()),
+                "ts": pa.array(ts_a, pa.timestamp("us")),
+                "event_type": pa.array(list(ty_a), pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+
+    # brute-force per-user reference
+    expected = np.zeros(len(FUNNEL_STAGES), np.int64)
+    for uid in np.unique(uid_a):
+        sel = uid_a == uid
+        ts_u = ts_a[sel].astype(np.int64)
+        ty_u = ty_a[sel]
+        cur = -np.inf
+        for k, stage in enumerate(FUNNEL_STAGES):
+            cand = ts_u[(ty_u == stage) & (ts_u > cur)]
+            if len(cand) == 0:
+                break
+            cur = cand.min()
+            expected[k] += 1
+
+    out = event_funnel(str(d)).to_pandas()
+    assert list(out["stage"]) == list(range(1, len(FUNNEL_STAGES) + 1))
+    assert list(out["event_type"]) == list(FUNNEL_STAGES)
+    assert list(out["n_users"]) == list(expected)
+
+
+def test_hll_estimate_accuracy():
+    """The HLL registers produced by the pipeline yield estimates within
+    ~3 sigma (1.04/sqrt(64) ~ 13% per-key) of the exact distinct counts on
+    the driver testdata."""
+    import duckdb
+    import numpy as np
+
+    from lasvdedup_ray.pipelines.relational import (
+        HLL_M,
+        hll_distinct_users,
+        hll_estimate,
+    )
+
+    out = hll_distinct_users(SF_DIR).to_pandas()
+    exact = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT event_type, count(DISTINCT user_id) FROM"
+            f" '{SF_DIR}/events.parquet' GROUP BY 1"
+        )
+        .fetchall()
+    )
+    assert set(out["event_type"]) == set(exact)
+    for ety, grp in out.groupby("event_type"):
+        regs = np.zeros(HLL_M, np.int64)
+        regs[grp["register"].to_numpy()] = grp["rho"].to_numpy()
+        est = hll_estimate(regs)
+        assert abs(est - exact[ety]) / exact[ety] < 0.40, (ety, est, exact[ety])
