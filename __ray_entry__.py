@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_daily": relational.distinct_users_daily,
         "event_debounce": relational.event_debounce,
         "event_funnel": relational.event_funnel,
+        "cohort_retention": relational.cohort_retention,
         "hll_distinct_users": relational.hll_distinct_users,
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
@@ -1252,6 +1253,24 @@ def oracle_sql() -> dict[str, str]:
         # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
         "event_debounce": _debounce_sql(),
         "event_funnel": _funnel_sql(),
+        # day convention mirrors distinct_users_daily (integer-floor epoch
+        # microseconds; epoch(ts)::BIGINT rounds near second boundaries)
+        "cohort_retention": """
+            WITH d AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+                FROM events
+            ), f AS (
+                SELECT user_id, min(day) AS fday FROM d GROUP BY user_id
+            ), a AS (
+                SELECT DISTINCT d.user_id, d.day, f.fday
+                FROM d JOIN f USING (user_id)
+            )
+            SELECT fday * 86400 AS cohort_day_s,
+                   day - fday AS day_offset,
+                   count(*) AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2
+        """,
         "hll_distinct_users": _hll_sql(),
         "ngram_jaccard_pairs": _ngram_pairs_sql(),
         # single-linkage clustering over the SAME exact-Jaccard pair

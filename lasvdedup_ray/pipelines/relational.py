@@ -1068,3 +1068,78 @@ def hll_estimate(registers: np.ndarray) -> float:
     if e <= 2.5 * m and zeros:
         return m * float(np.log(m / zeros))
     return e
+
+
+# ---- cohort retention -------------------------------------------------------
+RETENTION_PARTITIONS = 64
+
+
+def cohort_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention triangle: users grouped by first-seen UTC day
+    (cohort), counting distinct users active at each day offset from their
+    cohort day.  Day boundaries use integer floor of epoch microseconds
+    (mirrors ``distinct_users_daily``'s ``day_s`` convention).
+
+    Scale shape: ONE hash-partition shuffle on ``user_id % P`` of a
+    2-column pruned read; each partition computes per-user first day +
+    distinct (user, day) pairs fully vectorized and emits only
+    (cohort_day_s, day_offset, partial count) rows — bounded by distinct
+    cells, not events — then a small groupby-sum."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        pk = pc.cast(
+            pc.bit_wise_and(t["user_id"], pa.scalar(RETENTION_PARTITIONS - 1)),
+            pa.int32(),
+        )
+        return t.append_column("pkey", pk)
+
+    def retention_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "cohort_day_s": pa.array([], pa.int64()),
+                    "day_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = (
+            t["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 86_400_000_000
+        )
+        # distinct (user, day) pairs
+        pairs = np.unique(np.stack([uid, day], axis=1), axis=0)
+        puid, pday = pairs[:, 0], pairs[:, 1]
+        users, uidx = np.unique(puid, return_inverse=True)
+        fday = np.full(len(users), np.iinfo(np.int64).max)
+        np.minimum.at(fday, uidx, pday)
+        cohort = fday[uidx]
+        offset = pday - cohort
+        cells, counts = np.unique(
+            np.stack([cohort, offset], axis=1), axis=0, return_counts=True
+        )
+        return pa.table(
+            {
+                "cohort_day_s": pa.array(cells[:, 0] * 86_400, pa.int64()),
+                "day_offset": pa.array(cells[:, 1], pa.int64()),
+                "n_users": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: retention_partition(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["cohort_day_s", "day_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_day_s", "day_offset"])
+    )

@@ -124,3 +124,46 @@ def test_hll_estimate_accuracy():
         regs[grp["register"].to_numpy()] = grp["rho"].to_numpy()
         est = hll_estimate(regs)
         assert abs(est - exact[ety]) / exact[ety] < 0.40, (ety, est, exact[ety])
+
+
+def test_cohort_retention_bruteforce(tmp_path):
+    """cohort_retention counts each user once per distinct active day,
+    offsets anchored at the user's first day (planted multi-event days
+    must not double-count)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.relational import cohort_retention
+
+    DAY = 86_400_000_000
+    rows = [
+        (1, 0), (1, 10), (1, DAY), (1, 3 * DAY),       # day 0 twice -> once
+        (2, DAY), (2, DAY + 5), (2, 2 * DAY),          # cohort day 1
+        (3, 0),                                        # single event
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], "datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = cohort_retention(str(d)).to_pandas()
+    got = {
+        (r.cohort_day_s, r.day_offset): r.n_users for r in out.itertuples()
+    }
+    assert got == {
+        (0, 0): 2,      # users 1, 3 on their day 0
+        (0, 1): 1,      # user 1 day 1
+        (0, 3): 1,      # user 1 day 3
+        (86400, 0): 1,  # user 2 cohort day 1
+        (86400, 1): 1,  # user 2 day 2
+    }
