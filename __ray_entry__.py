@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         "embedding_kmeans": ann.embedding_kmeans,
+        "label_centroids": ann.label_centroids,
         # multimodal plumbing (deterministic synthetic media corpus;
         # rows-only — binary feature extraction is not SQL-expressible)
         "media_features": media.media_features,
@@ -1303,6 +1304,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE (id_a % 2) <> (id_b % 2)
             GROUP BY 1
             ORDER BY doc_id
+        """,
+        # per-element DOUBLE casts mirror the engine's f32 -> f64 promotion
+        # before the moment sums (sum/sumsq of FLOAT would drift)
+        "label_centroids": """
+            WITH x AS (
+                SELECT label, unnest(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            ), m AS (
+                SELECT CAST(label AS BIGINT) AS label,
+                       CAST(dim AS BIGINT) AS dim,
+                       sum(v::DOUBLE) AS s1,
+                       sum(v::DOUBLE * v::DOUBLE) AS s2,
+                       count(*) AS n_vecs
+                FROM x GROUP BY 1, 2
+            )
+            SELECT label, dim,
+                   CAST(round(s1 / n_vecs * 1000000) AS BIGINT) AS centroid_e6,
+                   CAST(round((s2 / n_vecs - (s1 / n_vecs) * (s1 / n_vecs))
+                        * 1000000) AS BIGINT) AS variance_e6,
+                   n_vecs
+            FROM m ORDER BY label, dim
         """,
         "embedding_topk": """
             WITH q AS (

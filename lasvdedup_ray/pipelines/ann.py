@@ -679,3 +679,77 @@ def embedding_kmeans(
         return quantize(out, ["mean_cos"], scale=1_000_000, suffix="_e6")
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("cluster_id")
+
+
+def label_centroids(sf_dir: str) -> ray.data.Dataset:
+    """Per-label centroid and per-dimension variance of the embedding
+    column (class prototypes / dataset cartography for training-data
+    selection).
+
+    Scale shape: the canonical moment-sketch plan — each batch folds its
+    rows into per-label (sum, sumsq, count) partial moments, so the only
+    exchange carries labels x dims slim rows; mean and population variance
+    close from the merged moments (var = E[x^2] - mean^2).  Mirrored in
+    SQL via unnest + generate_subscripts over the same float32 values."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "label": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "s1": pa.array([], pa.float64()),
+                    "s2": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        mat = _list_matrix(t["embedding"]).astype(np.float64)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labels, lidx = np.unique(lab, return_inverse=True)
+        d = mat.shape[1]
+        s1 = np.zeros((len(labels), d))
+        s2 = np.zeros((len(labels), d))
+        np.add.at(s1, lidx, mat)
+        np.add.at(s2, lidx, mat * mat)
+        n = np.bincount(lidx, minlength=len(labels)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(labels, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), len(labels)), pa.int64()),
+                "s1": pa.array(s1.ravel(), pa.float64()),
+                "s2": pa.array(s2.ravel(), pa.float64()),
+                "n": pa.array(np.repeat(n, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("n", alias_name="n_vecs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s1 = t["s1"].to_numpy(zero_copy_only=False)
+        s2 = t["s2"].to_numpy(zero_copy_only=False)
+        n = t["n_vecs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        out = pa.table(
+            {
+                "label": t["label"],
+                "dim": t["dim"],
+                "centroid": pa.array(mean, pa.float64()),
+                "variance": pa.array(var, pa.float64()),
+                "n_vecs": t["n_vecs"],
+            }
+        )
+        return quantize(out, ["centroid", "variance"], scale=1_000_000, suffix="_e6")
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "dim"])

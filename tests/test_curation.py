@@ -437,3 +437,37 @@ def test_event_debounce_bursts(ray_session, tmp_path):
     assert list(res["event_id"]) == [0, 3, 4, 5, 6]
     # chained suppression: #2 compares against #1 (suppressed), not #0
     assert 2 not in set(res["event_id"])
+
+
+def test_label_centroids_matches_numpy(ray_session, tmp_path):
+    from lasvdedup_ray.pipelines.ann import label_centroids
+
+    rng = np.random.default_rng(5)
+    n, d = 120, 8
+    lab = rng.integers(0, 3, n).astype(np.int64)
+    mat = rng.normal(size=(n, d)).astype(np.float32)
+    dd = tmp_path / "emb"
+    dd.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [row for row in mat.tolist()], pa.list_(pa.float32())
+                ),
+                "label": pa.array(lab, pa.int32()),
+            }
+        ),
+        str(dd / "embeddings.parquet"),
+    )
+    out = label_centroids(str(dd)).to_pandas()
+    assert len(out) == 3 * d
+    m64 = mat.astype(np.float64)
+    for l in range(3):
+        sub = out[out["label"] == l].sort_values("dim")
+        sel = m64[lab == l]
+        exp_mean = np.round(sel.mean(axis=0) * 1e6)
+        exp_var = np.round(sel.var(axis=0) * 1e6)
+        assert np.abs(sub["centroid_e6"].to_numpy() - exp_mean).max() <= 1
+        assert np.abs(sub["variance_e6"].to_numpy() - exp_var).max() <= 1
+        assert (sub["n_vecs"] == len(sel)).all()
