@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup_docs": textops.normalized_dedup_docs,
         "vocab_top_tokens": textops.vocab_top_tokens,
         "bm25_topk": textops.bm25_topk,
+        "doc_length_quantiles": textops.doc_length_quantiles,
+        "dup_rate_by_source": textops.dup_rate_by_source,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "jaccard_cluster_docs": textops.jaccard_cluster_docs,
@@ -506,6 +508,32 @@ def _span_dedup_sql() -> str:
         FROM documents d
         JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+    """
+
+
+def _length_quantiles_sql() -> str:
+    """Mirror of textops.doc_length_quantiles: lower discrete quantile
+    (smallest value whose per-lang cumulative count reaches
+    ceil(q * n)) over bounded-domain (lang, n_chars) cells."""
+    from lasvdedup_ray.pipelines.textops import LENGTH_QUANTILE_QS
+
+    qvals = ", ".join(f"({int(round(q * 100))})" for q in LENGTH_QUANTILE_QS)
+    return f"""
+        WITH cells AS (
+            SELECT lang, n_chars, count(*) AS n
+            FROM documents GROUP BY lang, n_chars
+        ), cum AS (
+            SELECT lang, n_chars,
+                   sum(n) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+                   sum(n) OVER (PARTITION BY lang) AS total
+            FROM cells
+        ), q(q_pct) AS (VALUES {qvals})
+        SELECT c.lang, CAST(q.q_pct AS BIGINT) AS q_pct,
+               min(c.n_chars) AS n_chars,
+               CAST(min(c.total) AS BIGINT) AS n_docs
+        FROM cum c JOIN q ON c.cum >= ceil(q.q_pct / 100.0 * c.total)
+        GROUP BY c.lang, q.q_pct
+        ORDER BY c.lang, q.q_pct
     """
 
 
@@ -1240,6 +1268,28 @@ def oracle_sql() -> dict[str, str]:
         # lasvdedup_ray.pipelines.textops.SPAN_WORDS (query semantics)
         "span_dedup_docs": _span_dedup_sql(),
         "bm25_topk": _bm25_sql(),
+        "doc_length_quantiles": _length_quantiles_sql(),
+        # canonical form = sorted distinct tokens (binary collation sort ==
+        # numpy lexsort on the same lowercase ASCII tokens)
+        "dup_rate_by_source": """
+            WITH n AS (
+                SELECT source,
+                       array_to_string(list_sort(list_distinct(
+                           string_split(lower(text), ' '))), ' ') AS canon
+                FROM documents
+            ), c AS (
+                SELECT canon, count(*) AS copies FROM n GROUP BY canon
+            ), d AS (
+                SELECT n.source,
+                       CAST(c.copies > 1 AS BIGINT) AS is_dup
+                FROM n JOIN c USING (canon)
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+                   CAST(round(sum(is_dup) * 1.0 / count(*) * 1000000)
+                        AS BIGINT) AS dup_rate_e6
+            FROM d GROUP BY source ORDER BY source
+        """,
         "shuffle_export_docs": _shuffle_export_sql(),
         "distinct_users_daily": """
             -- epoch_us // : integer floor (epoch(ts)::BIGINT ROUNDS and

@@ -1472,3 +1472,170 @@ def jaccard_cluster_docs(sf_dir: str, threshold: float = 0.5) -> ray.data.Datase
         )
 
     return labeled.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# grouped-quantile query semantics: "lower" discrete quantile — smallest
+# value whose cumulative count reaches ceil(q * n) — mirrored exactly in SQL
+LENGTH_QUANTILE_QS = (0.5, 0.9, 0.99)
+
+
+def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """EXACT per-language length quantiles (p50/p90/p99 of ``n_chars``)
+    via bounded-domain counting — no sampling, no sketch error.
+
+    Scale shape: document length is a bounded small-cardinality domain, so
+    each batch pre-aggregates to (lang, n_chars, count) cells and the only
+    exchange carries distinct cells (langs x distinct lengths), not rows.
+    The per-lang cumulative-count quantile selection runs over that tiny
+    cell table.  This beats a distributed sort (no all-to-all over the
+    full table) and beats t-digest/histogram sketches (exact answer) for
+    any bounded-domain column."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+
+    def cell_partials(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "n_chars": t["n_chars"]})
+            .group_by(["lang", "n_chars"])
+            .aggregate([("n_chars", "count")])
+        )
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n_chars": g["n_chars"],
+                "n": pc.cast(g["n_chars_count"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(cell_partials, batch_format="pyarrow")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def select_quantiles(g: pa.Table) -> pa.Table:
+        v = g["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v)
+        v, n = v[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        qs = np.array(LENGTH_QUANTILE_QS)
+        ranks = np.ceil(qs * total).astype(np.int64)
+        idx = np.searchsorted(cum, ranks)
+        return pa.table(
+            {
+                "lang": pa.array([g["lang"][0].as_py()] * len(qs), pa.string()),
+                "q_pct": pa.array(np.rint(qs * 100).astype(np.int64), pa.int64()),
+                "n_chars": pa.array(v[idx], pa.int64()),
+                "n_docs": pa.array([total] * len(qs), pa.int64()),
+            }
+        )
+
+    return (
+        cells.groupby("lang")
+        .map_groups(select_quantiles, batch_format="pyarrow")
+        .sort(["lang", "q_pct"])
+    )
+
+
+def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
+    """Duplication report: per source, how many docs share their sorted
+    DISTINCT-TOKEN SET with another doc corpus-wide (catches shuffled /
+    reordered copies that exact text equality misses; cross-source dups
+    count in every source they appear in).
+
+    Scale shape: content collapses to (sha256-prefix, source) slim rows per
+    batch; ONE hash-partition shuffle on ``sha % P`` co-locates all copies
+    of a text, a vectorized within-partition pass (np.unique run lengths —
+    not a per-sha map_groups, the many-tiny-groups landmine) emits
+    per-(source) partial dup counts, and a small groupby-sum closes — the
+    text never rides an exchange."""
+    P = 64
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def sha_rows(t: pa.Table) -> pa.Table:
+        # canonical form: sorted distinct tokens (vectorized flatten +
+        # np.unique; only the final per-doc join is Python).  Hashed to the
+        # full digest hex (collision-free identity, matching
+        # exact_dedup_docs); the low 64 prefix bits only route partitions.
+        toks_list = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        flat = pc.list_flatten(toks_list).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(toks_list).to_numpy(
+            zero_copy_only=False
+        )
+        order = np.lexsort((flat, parent))
+        p, w = parent[order], flat[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1])
+        p, w = p[keep], w[keep]
+        bounds = np.searchsorted(p, np.arange(1, t.num_rows))
+        canon = (" ".join(ws) for ws in np.split(w, bounds))
+        digests = sha256_bytes(s.encode("utf-8") for s in canon)
+        pk = np.frombuffer(b"".join(d[:8] for d in digests), dtype=">u8").astype(
+            np.uint64
+        ) & np.uint64(P - 1)
+        return pa.table(
+            {
+                "sha": pa.array([d.hex() for d in digests], pa.string()),
+                "source": t["source"],
+                "pkey": pa.array(pk.astype(np.int32), pa.int32()),
+            }
+        )
+
+    def dup_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_dup_docs": pa.array([], pa.int64()),
+                }
+            )
+        sha = t["sha"].to_numpy(zero_copy_only=False)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(sha, return_inverse=True, return_counts=True)
+        is_dup = (cnt[inv] > 1).astype(np.int64)
+        srcs, sidx = np.unique(src, return_inverse=True)
+        n_docs = np.bincount(sidx, minlength=len(srcs)).astype(np.int64)
+        n_dup = np.zeros(len(srcs), np.int64)
+        np.add.at(n_dup, sidx, is_dup)
+        return pa.table(
+            {
+                "source": pa.array(list(srcs), pa.string()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_dup_docs": pa.array(n_dup, pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(sha_rows, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: dup_partition(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_dup_docs", alias_name="n_dup_docs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dup = t["n_dup_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "source": t["source"],
+                "n_docs": t["n_docs"],
+                "n_dup_docs": t["n_dup_docs"],
+                "dup_rate": pa.array(dup / nd, pa.float64()),
+            }
+        )
+        return quantize(out, ["dup_rate"], scale=1_000_000, suffix="_e6")
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("source")

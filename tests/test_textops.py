@@ -433,3 +433,60 @@ def test_bm25_topk_matches_bruteforce(tmp_path):
         sub = out[out["query_id"] == qid]
         got = list(zip(sub["score_e6"], sub["doc_id"]))
         assert got == expected[qid], f"query {qid}"
+
+
+def test_doc_length_quantiles_planted(tmp_path):
+    """Lower discrete quantile on a planted distribution: 100 docs of
+    lengths 1..100 per lang -> p50=50, p90=90, p99=99 exactly."""
+    from lasvdedup_ray.pipelines.textops import doc_length_quantiles
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    langs = ["aa"] * 100 + ["bb"] * 10
+    lens = list(range(1, 101)) + [7] * 10
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(langs)), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = doc_length_quantiles(str(d)).to_pandas()
+    got = {(r.lang, r.q_pct): r.n_chars for r in out.itertuples()}
+    assert got == {
+        ("aa", 50): 50, ("aa", 90): 90, ("aa", 99): 99,
+        ("bb", 50): 7, ("bb", 90): 7, ("bb", 99): 7,
+    }
+    assert set(out[out["lang"] == "aa"]["n_docs"]) == {100}
+
+
+def test_dup_rate_by_source_token_set(tmp_path):
+    """Token-set identity: reordered copies count as dups, docs with a
+    genuinely different vocabulary do not."""
+    from lasvdedup_ray.pipelines.textops import dup_rate_by_source
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        ("s1", "alpha beta gamma"),
+        ("s1", "gamma beta alpha alpha"),   # same token set, reordered + rep
+        ("s1", "delta epsilon"),
+        ("s2", "beta alpha gamma"),         # same set again, third source copy
+        ("s2", "zeta eta theta"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = dup_rate_by_source(str(d)).to_pandas()
+    got = {r.source: (r.n_docs, r.n_dup_docs, r.dup_rate_e6) for r in out.itertuples()}
+    assert got == {"s1": (3, 2, 666667), "s2": (2, 1, 500000)}
