@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": relational.hll_distinct_users,
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
+        "purchase_click_window_join": windows.purchase_click_window_join,
         "brand_revenue": relational.brand_revenue,
         "top_orders_per_cust": relational.top_orders_per_cust,
         "customers_without_orders": relational.customers_without_orders,
@@ -1089,6 +1090,25 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
               ON p.user_id = v.user_id AND p.ts > v.ts
             ORDER BY event_id
+        """,
+        # click values quantized to int64 BEFORE the window sum on both
+        # engines, so the banded-join aggregates are exact integers
+        "purchase_click_window_join": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts,
+                       CAST(round(value * 10000) AS BIGINT) AS v
+                FROM events WHERE event_type = 'click'
+            )
+            SELECT p.event_id, p.user_id,
+                   count(c.ts) AS n_clicks,
+                   CAST(coalesce(sum(c.v), 0) AS BIGINT) AS click_value_e4
+            FROM p LEFT JOIN c ON c.user_id = p.user_id
+               AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id
         """,
         "langid_docs": _langid_sql(),
         "doc_fingerprints": _winnow_sql(),

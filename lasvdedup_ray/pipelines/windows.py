@@ -199,3 +199,107 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("event_id")
     )
+
+
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def purchase_click_window_join(sf_dir: str) -> ray.data.Dataset:
+    """Banded range join (interval join): for each 'purchase' event, the
+    count and e4-quantized value sum of the SAME user's 'click' events in
+    the strict preceding hour (``p.ts - 1h <= c.ts < p.ts``).
+
+    Scale shape: a range join is a shuffle-killer done naively (every pair
+    within the band); here both sides hash-partition ONCE on ``user_id %
+    P`` and the per-partition pass is two searchsorted probes per purchase
+    against the user-run-local sorted click timeline plus an int64
+    prefix-sum difference — O((n+m) log m) per partition, no pair
+    materialization.  Click values are quantized to int64 BEFORE summing
+    so the window sums are exact integers on both engines (a float
+    prefix-sum difference could drift a half-ulp against the oracle's
+    direct summation)."""
+    import pyarrow.dataset as pads
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        filter=pads.field("event_type").isin(["purchase", "click"]),
+    )
+
+    EMPTY = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("n_clicks", pa.int64()),
+            ("click_value_e4", pa.int64()),
+        ]
+    )
+
+    def window_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return EMPTY.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            t["ts"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        val = t["value"].to_numpy(zero_copy_only=False)
+        v_e4 = np.where(
+            val >= 0, np.floor(val * 1e4 + 0.5), np.ceil(val * 1e4 - 0.5)
+        ).astype(np.int64)
+        is_click = pc.equal(t["event_type"], "click").to_numpy(
+            zero_copy_only=False
+        )
+        c = np.flatnonzero(is_click)
+        p = np.flatnonzero(~is_click)
+        cu, cts, cv = uid[c], ts[c], v_e4[c]
+        pu, pts, peid = uid[p], ts[p], eid[p]
+
+        def probe(keys: np.ndarray) -> tuple:
+            """Exclusive running (count, value-sum) of clicks strictly
+            before each probe key in the merged (user, key) order; probes
+            sort BEFORE clicks at equal keys, so an equal-timestamp click
+            is not counted — together the two probes give the half-open
+            window [pts - W, pts)."""
+            m = len(cu) + len(keys)
+            u_all = np.concatenate([cu, pu])
+            k_all = np.concatenate([cts, keys])
+            kind = np.concatenate(
+                [np.ones(len(cu), np.int8), np.zeros(len(keys), np.int8)]
+            )
+            order = np.lexsort((kind, k_all, u_all))
+            click_flag = kind[order] == 1
+            before_n = np.concatenate([[0], np.cumsum(click_flag)])[:m]
+            before_v = np.concatenate(
+                [[0], np.cumsum(np.where(click_flag, np.concatenate([cv, np.zeros(len(keys), np.int64)])[order], 0))]
+            )[:m]
+            pos = np.empty(m, np.int64)
+            pos[order] = np.arange(m)
+            probe_pos = pos[len(cu):]
+            return before_n[probe_pos], before_v[probe_pos]
+
+        n_hi, v_hi = probe(pts)
+        n_lo, v_lo = probe(pts - RANGE_JOIN_WINDOW_US)
+        n_clicks = n_hi - n_lo
+        sums = v_hi - v_lo
+        return pa.table(
+            {
+                "event_id": pa.array(peid, pa.int64()),
+                "user_id": pa.array(pu, pa.int64()),
+                "n_clicks": pa.array(n_clicks, pa.int64()),
+                "click_value_e4": pa.array(sums, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda t: window_partition(t.drop_columns(["pkey"])),
+            batch_format="pyarrow",
+        )
+        .sort("event_id")
+    )

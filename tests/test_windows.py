@@ -173,3 +173,47 @@ def test_decontam_overlap_brute_force():
     out = decontam_overlap(sf_dir).to_pandas()
     got = dict(zip(out["doc_id"].astype(int), out["n_overlap"].astype(int)))
     assert got == expected
+
+
+def test_purchase_click_window_join_boundaries(ray_session, tmp_path):
+    """Half-open window [p.ts - 1h, p.ts): a click exactly 1h before IS
+    counted, a click at the purchase's own timestamp is NOT, and clicks
+    from other users never leak in."""
+    from lasvdedup_ray.pipelines.windows import purchase_click_window_join
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")
+    H = np.timedelta64(3600_000_000, "us")
+    s = np.timedelta64(1_000_000, "us")
+    rows = [
+        # user 1: purchase at base; clicks at -1h (in), -30m (in),
+        # -1h-1s (out), 0 (out, equal ts)
+        (1, 1, base - H, "click", 1.0),
+        (2, 1, base - H - s, "click", 100.0),
+        (3, 1, base - 1800 * s, "click", 2.25),
+        (4, 1, base, "click", 1000.0),
+        (5, 1, base, "purchase", 5.0),
+        # user 2: same timestamps, must not mix with user 1
+        (6, 2, base - 10 * s, "click", 7.5),
+        (7, 2, base, "purchase", 1.0),
+        # user 3: purchase with no clicks at all
+        (8, 3, base, "purchase", 2.0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    out = purchase_click_window_join(str(d)).to_pandas()
+    got = {r.event_id: (r.n_clicks, r.click_value_e4) for r in out.itertuples()}
+    assert got == {
+        5: (2, 32500),   # 1.0 + 2.25 -> 3.25 e4
+        7: (1, 75000),
+        8: (0, 0),
+    }
