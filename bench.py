@@ -180,10 +180,13 @@ def run_bench() -> dict:
         timed("doc_stats", textops.doc_stats)
         timed("simhash_near_pairs", textops.simhash_near_pairs)
         timed("embedding_topk", ann.embedding_topk)
-        from lasvdedup_ray.pipelines import curation
+        from lasvdedup_ray.pipelines import curation, windows
 
         timed("quality_classifier_docs", curation.quality_classifier_docs)
         timed("pack_sequences", curation.pack_sequences)
+        timed("bm25_topk", textops.bm25_topk)
+        timed("purchase_click_window_join", windows.purchase_click_window_join)
+        timed("hll_distinct_users", relational.hll_distinct_users)
 
     result = {
         "metric": "flagship dedup wall time (synthetic source-code corpus)",
