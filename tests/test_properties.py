@@ -87,3 +87,125 @@ def test_sha256_bytes_shape(bs):
     out = sha256_bytes(bs)
     assert len(out) == len(bs)
     assert all(len(d) == 32 for d in out)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),        # user
+        st.integers(min_value=0, max_value=50),       # ts (us)
+        st.integers(min_value=0, max_value=3),        # stage index
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(events_strategy)
+def test_funnel_partition_matches_bruteforce(rows):
+    """The vectorized per-partition funnel chain == a per-user Python scan
+    for ANY event multiset (ties, revisits, out-of-order arrival)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from lasvdedup_ray.pipelines.relational import FUNNEL_STAGES
+
+    uid = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], np.int64)
+    ety = np.array([FUNNEL_STAGES[r[2]] for r in rows]) if rows else np.array([], dtype="U8")
+
+    # mirror of funnel_partition's numpy core (same code path semantics)
+    if len(rows) == 0:
+        counts = np.zeros(len(FUNNEL_STAGES), np.int64)
+    else:
+        users, uidx = np.unique(uid, return_inverse=True)
+        cur = np.full(len(users), -np.inf)
+        counts = np.zeros(len(FUNNEL_STAGES), np.int64)
+        for k, stage in enumerate(FUNNEL_STAGES):
+            nxt = np.full(len(users), np.inf)
+            m = (ety == stage) & (ts > cur[uidx])
+            np.minimum.at(nxt, uidx[m], ts[m])
+            cur = nxt
+            counts[k] = int(np.isfinite(cur).sum())
+
+    expected = np.zeros(len(FUNNEL_STAGES), np.int64)
+    for u in np.unique(uid):
+        sel = uid == u
+        cur_t = -np.inf
+        for k, stage in enumerate(FUNNEL_STAGES):
+            cand = ts[sel & (ety == stage)]
+            cand = cand[cand > cur_t]
+            if len(cand) == 0:
+                break
+            cur_t = cand.min()
+            expected[k] += 1
+    assert list(counts) == list(expected)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 58) - 1), min_size=1, max_size=50))
+def test_hll_bit_length_matches_python(ws):
+    """The vectorized shift-cascade bit_length in hll_distinct_users'
+    partials == int.bit_length for any 58-bit window value."""
+    v = np.array(ws, np.uint64)
+    bl = np.zeros(len(v), np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (v >> np.uint64(s)) > 0
+        bl[m] += s
+        v[m] >>= np.uint64(s)
+    bl += (v > 0).astype(np.int64)
+    assert list(bl) == [int(w).bit_length() for w in ws]
+
+
+range_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),     # user
+        st.integers(min_value=0, max_value=100),   # ts
+        st.booleans(),                             # is_click
+        st.integers(min_value=-5, max_value=5),    # value e4 (int)
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(range_events)
+def test_range_join_probe_matches_bruteforce(rows):
+    """The merge-probe window counts/sums == brute-force O(n*m) pairs for
+    ANY event layout (equal timestamps, empty sides, interleaved users)."""
+    W = 10
+    cu = np.array([r[0] for r in rows if r[2]], np.int64)
+    cts = np.array([r[1] for r in rows if r[2]], np.int64)
+    cv = np.array([r[3] for r in rows if r[2]], np.int64)
+    pu = np.array([r[0] for r in rows if not r[2]], np.int64)
+    pts = np.array([r[1] for r in rows if not r[2]], np.int64)
+
+    def probe(keys):
+        m = len(cu) + len(keys)
+        u_all = np.concatenate([cu, pu])
+        k_all = np.concatenate([cts, keys])
+        kind = np.concatenate(
+            [np.ones(len(cu), np.int8), np.zeros(len(keys), np.int8)]
+        )
+        order = np.lexsort((kind, k_all, u_all))
+        click_flag = kind[order] == 1
+        before_n = np.concatenate([[0], np.cumsum(click_flag)])[:m]
+        before_v = np.concatenate(
+            [[0], np.cumsum(np.where(click_flag, np.concatenate([cv, np.zeros(len(keys), np.int64)])[order], 0))]
+        )[:m]
+        pos = np.empty(m, np.int64)
+        pos[order] = np.arange(m)
+        probe_pos = pos[len(cu):]
+        return before_n[probe_pos], before_v[probe_pos]
+
+    if len(pu):
+        n_hi, v_hi = probe(pts)
+        n_lo, v_lo = probe(pts - W)
+        n_clicks, sums = n_hi - n_lo, v_hi - v_lo
+    else:
+        n_clicks = sums = np.array([], np.int64)
+
+    for i in range(len(pu)):
+        mask = (cu == pu[i]) & (cts >= pts[i] - W) & (cts < pts[i])
+        assert n_clicks[i] == mask.sum()
+        assert sums[i] == cv[mask].sum()
