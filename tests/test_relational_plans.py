@@ -167,3 +167,53 @@ def test_cohort_retention_bruteforce(tmp_path):
         (86400, 0): 1,  # user 2 cohort day 1
         (86400, 1): 1,  # user 2 day 2
     }
+
+
+def test_hll_registers_merge_associatively(tmp_path):
+    """Register tables are mergeable sketches: elementwise max of the
+    sketches of two disjoint halves == the sketch of the union (the
+    property that makes the sketch valid for incremental / multi-shard
+    corpora)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.relational import HLL_M, hll_distinct_users
+
+    rng = np.random.default_rng(9)
+    uid = rng.integers(0, 10**9, 400).astype(np.int64)
+    ety = np.array(["a", "b"])[rng.integers(0, 2, 400)]
+
+    def write(dirname, sel):
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(int(sel.sum())), pa.int64()),
+                    "user_id": pa.array(uid[sel], pa.int64()),
+                    "event_type": pa.array(list(ety[sel]), pa.string()),
+                }
+            ),
+            str(d / "events.parquet"),
+        )
+        return str(d)
+
+    half = np.arange(len(uid)) < len(uid) // 2
+    full = hll_distinct_users(write("full", np.ones(len(uid), bool))).to_pandas()
+    h1 = hll_distinct_users(write("h1", half)).to_pandas()
+    h2 = hll_distinct_users(write("h2", ~half)).to_pandas()
+
+    def dense(df):
+        out = {}
+        for e, grp in df.groupby("event_type"):
+            r = np.zeros(HLL_M, np.int64)
+            r[grp["register"].to_numpy()] = grp["rho"].to_numpy()
+            out[e] = r
+        return out
+
+    f, a, b = dense(full), dense(h1), dense(h2)
+    for e in f:
+        merged = np.maximum(a.get(e, np.zeros(HLL_M, np.int64)),
+                            b.get(e, np.zeros(HLL_M, np.int64)))
+        assert (merged == f[e]).all()
