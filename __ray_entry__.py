@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": textops.bm25_topk,
         "doc_length_quantiles": textops.doc_length_quantiles,
         "dup_rate_by_source": textops.dup_rate_by_source,
+        "tfidf_source_terms": textops.tfidf_source_terms,
         "span_dedup_docs": textops.span_dedup_docs,
         "ngram_jaccard_pairs": textops.ngram_jaccard_pairs,
         "jaccard_cluster_docs": textops.jaccard_cluster_docs,
@@ -509,6 +510,38 @@ def _span_dedup_sql() -> str:
         FROM documents d
         JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
         ORDER BY doc_id
+    """
+
+
+def _tfidf_sql() -> str:
+    """Mirror of textops.tfidf_source_terms (see its docstring for the
+    determinism contract)."""
+    from lasvdedup_ray.pipelines.textops import TFIDF_TOP_K
+
+    return f"""
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+            FROM documents
+        ), t2 AS (
+            SELECT source, tok FROM toks WHERE tok <> ''
+        ), cells AS (
+            SELECT source, tok, count(*) AS tf FROM t2 GROUP BY source, tok
+        ), stats AS (
+            SELECT count(DISTINCT source) AS ns FROM cells
+        ), df AS (
+            SELECT tok, count(*) AS df FROM cells GROUP BY tok
+        ), scored AS (
+            SELECT c.source, c.tok,
+                   CAST(floor(c.tf * ln(stats.ns * 1.0 / df.df) * 1e6 + 0.5)
+                        AS BIGINT) AS tfidf_e6
+            FROM cells c JOIN df USING (tok) CROSS JOIN stats
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY tfidf_e6 DESC, tok
+            ) AS rn FROM scored
+        )
+        SELECT source, tok, tfidf_e6 FROM ranked WHERE rn <= {TFIDF_TOP_K}
+        ORDER BY source, tfidf_e6 DESC, tok
     """
 
 
@@ -1289,6 +1322,9 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": _span_dedup_sql(),
         "bm25_topk": _bm25_sql(),
         "doc_length_quantiles": _length_quantiles_sql(),
+        # K mirrors textops.TFIDF_TOP_K; identical tokenization, source-level
+        # df, ln(ns/df) idf, floor(+0.5) e6 quantization, tok tie-break
+        "tfidf_source_terms": _tfidf_sql(),
         # canonical form = sorted distinct tokens (binary collation sort ==
         # numpy lexsort on the same lowercase ASCII tokens)
         "dup_rate_by_source": """

@@ -1639,3 +1639,94 @@ def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
         return quantize(out, ["dup_rate"], scale=1_000_000, suffix="_e6")
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("source")
+
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
+    """Salient terms per source: top-``TFIDF_TOP_K`` tokens by TF-IDF
+    where TF counts the token within the source's docs and IDF is
+    ``ln(n_sources / n_sources_containing)`` over source-level document
+    frequency (keyword extraction / domain characterization).
+
+    Scale shape: one tokenizing scan emits per-batch (source, tok, n)
+    combiner partials (bounded by sources x vocab, not tokens); one
+    groupby merges them; source-level df and the tiny source count derive
+    from the SAME merged cell table (slim second aggregate over distinct
+    (tok, source) cells — no second scan of the text).  Scores are
+    e6-quantized with a token tie-break so both engines select identical
+    winners."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+
+    def tok_partials(t: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(pc.utf8_lower(t["text"]), " ")
+        flat = pc.list_flatten(toks_list)
+        parent = pc.list_parent_indices(toks_list)
+        tb = pa.table(
+            {"source": t["source"].take(parent), "tok": flat}
+        ).filter(pc.not_equal(flat, ""))
+        g = tb.group_by(["source", "tok"]).aggregate([("tok", "count")])
+        return pa.table(
+            {
+                "source": g["source"],
+                "tok": g["tok"],
+                "n": pc.cast(g["tok_count"], pa.int64()),
+            }
+        )
+
+    cells = (
+        ds.map_batches(tok_partials, batch_format="pyarrow")
+        .groupby(["source", "tok"])
+        .aggregate(Sum("n", alias_name="tf"))
+        .materialize()  # consumed twice: df reduce + scoring
+    )
+
+    # source-level document frequency + total source count (slim reduces)
+    df_rows = (
+        cells.groupby("tok").aggregate(Count(alias_name="df")).take_all()
+    )
+    df_map = {r["tok"]: int(r["df"]) for r in df_rows}
+    n_sources = cells.groupby("source").count().count()
+
+    toks_np = np.array(sorted(df_map))
+    idf_np = np.log(
+        n_sources / np.array([df_map[t] for t in toks_np], np.float64)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        codes = np.searchsorted(
+            toks_np, t["tok"].to_numpy(zero_copy_only=False)
+        )
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * idf_np[codes]
+        q = np.where(s >= 0, np.floor(s * 1e6 + 0.5), np.ceil(s * 1e6 - 0.5))
+        return pa.table(
+            {
+                "source": t["source"],
+                "tok": t["tok"],
+                "tfidf_e6": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def topk(g: pa.Table) -> pa.Table:
+        sc = g["tfidf_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tk = g["tok"].to_numpy(zero_copy_only=False)
+        sel = np.lexsort((tk, -sc))[:TFIDF_TOP_K]
+        idx = pa.array(sel)
+        return pa.table(
+            {
+                "source": g["source"].take(idx),
+                "tok": g["tok"].take(idx),
+                "tfidf_e6": g["tfidf_e6"].take(idx),
+            }
+        )
+
+    return (
+        cells.map_batches(score, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(topk, batch_format="pyarrow")
+        .sort(["source", "tfidf_e6", "tok"], descending=[False, True, False])
+    )

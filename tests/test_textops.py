@@ -490,3 +490,36 @@ def test_dup_rate_by_source_token_set(tmp_path):
     out = dup_rate_by_source(str(d)).to_pandas()
     got = {r.source: (r.n_docs, r.n_dup_docs, r.dup_rate_e6) for r in out.itertuples()}
     assert got == {"s1": (3, 2, 666667), "s2": (2, 1, 500000)}
+
+
+def test_tfidf_source_terms_planted(tmp_path):
+    """A token unique to one source must outrank corpus-wide tokens
+    (idf=ln(1)=0 for universal terms), with the token tie-break pinned."""
+    from lasvdedup_ray.pipelines.textops import TFIDF_TOP_K, tfidf_source_terms
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        ("sA", "common common unique_a common filler1"),
+        ("sA", "common filler2"),
+        ("sB", "common unique_b unique_b filler1"),
+        ("sB", "common filler2"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = tfidf_source_terms(str(d)).to_pandas()
+    top = out.groupby("source").first()
+    assert top.loc["sA", "tok"] == "unique_a"
+    assert top.loc["sB", "tok"] == "unique_b"
+    # universal terms score exactly 0 (idf = ln(1))
+    zero = out[out["tok"] == "common"]
+    assert (zero["tfidf_e6"] == 0).all()
+    assert (out.groupby("source").size() <= TFIDF_TOP_K).all()
