@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": relational.event_debounce,
         "event_funnel": relational.event_funnel,
         "cohort_retention": relational.cohort_retention,
+        "props_value_stats": relational.props_value_stats,
         "hll_distinct_users": relational.hll_distinct_users,
         "user_rolling_value": windows.user_rolling_value,
         "purchase_attribution": windows.purchase_attribution,
@@ -1360,6 +1361,22 @@ def oracle_sql() -> dict[str, str]:
         # gap constant mirrors relational.DEBOUNCE_GAP_S (query semantics)
         "event_debounce": _debounce_sql(),
         "event_funnel": _funnel_sql(),
+        # same RE2 extraction as the engine (both engines are RE2);
+        # mean = sum/count of exact int64s then one round — drift-free
+        "props_value_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                            AS BIGINT) AS k
+                FROM events
+                WHERE regexp_matches(props, '"k":\\s*-?\\d+')
+            )
+            SELECT event_type, count(*) AS n,
+                   min(k) AS k_min, max(k) AS k_max,
+                   CAST(round(CAST(sum(k) AS DOUBLE) / count(*) * 1000000)
+                        AS BIGINT) AS k_mean_e6
+            FROM x GROUP BY event_type ORDER BY event_type
+        """,
         # day convention mirrors distinct_users_daily (integer-floor epoch
         # microseconds; epoch(ts)::BIGINT rounds near second boundaries)
         "cohort_retention": """

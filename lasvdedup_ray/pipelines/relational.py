@@ -1143,3 +1143,65 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n_users", alias_name="n_users"))
         .sort(["cohort_day_s", "day_offset"])
     )
+
+
+def props_value_stats(sf_dir: str) -> ray.data.Dataset:
+    """Schema-on-read over the semi-structured ``props`` JSON column:
+    extract the integer ``k`` field and aggregate per event_type
+    (count / min / max / e6-quantized mean — the 'parse a JSON blob lake
+    without a schema migration' op).
+
+    Scale shape: extraction is one vectorized RE2 pass per batch
+    (``pc.extract_regex`` — no per-row json.loads), rows fold to per-batch
+    per-type moment partials, and the only exchange carries types x 4
+    numbers.  Rows whose props lack an integer ``k`` are skipped (mirrored
+    by the SQL oracle's regexp filter)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        tmp = pa.table({"event_type": t["event_type"], "k": k}).filter(
+            pc.is_valid(k)
+        )
+        g = tmp.group_by("event_type").aggregate(
+            [("k", "count"), ("k", "min"), ("k", "max"), ("k", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["k_count"], pa.int64()),
+                "k_min": pc.cast(g["k_min"], pa.int64()),
+                "k_max": pc.cast(g["k_max"], pa.int64()),
+                "k_sum": pc.cast(g["k_sum"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Min("k_min", alias_name="k_min"),
+            Max("k_max", alias_name="k_max"),
+            Sum("k_sum", alias_name="k_sum"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["k_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": t["n"],
+                "k_min": t["k_min"],
+                "k_max": t["k_max"],
+                "k_mean": pa.array(s / n, pa.float64()),
+            }
+        )
+        return quantize(out, ["k_mean"], scale=1_000_000, suffix="_e6")
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")

@@ -217,3 +217,38 @@ def test_hll_registers_merge_associatively(tmp_path):
         merged = np.maximum(a.get(e, np.zeros(HLL_M, np.int64)),
                             b.get(e, np.zeros(HLL_M, np.int64)))
         assert (merged == f[e]).all()
+
+
+def test_props_value_stats_malformed_rows(tmp_path):
+    """Schema-on-read: malformed / missing / negative k values — rows
+    without an integer k are skipped, negatives parse, stats are exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.relational import props_value_stats
+
+    props = [
+        '{"k": 10}', '{"k": -4}', '{"k": 3}',       # type a: n=3
+        '{"j": 9}', 'not json', '{"k": "str"}', '', # type a: all skipped
+        '{"k":7}',                                  # type b: no space form
+    ]
+    ety = ["a"] * 7 + ["b"]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(props)), pa.int64()),
+                "event_type": pa.array(ety, pa.string()),
+                "props": pa.array(props, pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = props_value_stats(str(d)).to_pandas()
+    got = {
+        r.event_type: (r.n, r.k_min, r.k_max, r.k_mean_e6)
+        for r in out.itertuples()
+    }
+    assert got == {"a": (3, -4, 10, 3000000), "b": (1, 7, 7, 7000000)}
