@@ -209,3 +209,27 @@ def test_range_join_probe_matches_bruteforce(rows):
         mask = (cu == pu[i]) & (cts >= pts[i] - W) & (cts < pts[i])
         assert n_clicks[i] == mask.sum()
         assert sums[i] == cv[mask].sum()
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_token_set_canonical_form_matches_python(ts):
+    """The vectorized sorted-distinct-token canonicalization inside
+    dup_rate_by_source == sorted(set(text.lower().split(' '))) for ANY
+    ASCII text (double spaces, leading/trailing spaces, empty strings —
+    all produce '' tokens that both sides keep identically)."""
+    import pyarrow.compute as pc
+
+    col = pa.array(ts, pa.string())
+    toks_list = pc.split_pattern(pc.utf8_lower(col), " ")
+    flat = pc.list_flatten(toks_list).to_numpy(zero_copy_only=False)
+    parent = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    order = np.lexsort((flat, parent))
+    p, w = parent[order], flat[order]
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (w[1:] != w[:-1])
+    p, w = p[keep], w[keep]
+    bounds = np.searchsorted(p, np.arange(1, len(ts)))
+    canon = [" ".join(ws) for ws in np.split(w, bounds)]
+    expected = [" ".join(sorted(set(t.lower().split(" ")))) for t in ts]
+    assert canon == expected
