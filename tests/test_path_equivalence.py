@@ -88,3 +88,19 @@ def test_exact_first_path_matches_default(signed_corpus):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_embedding_neardup_pairs_chunked_matches_broadcast():
+    """The exact pair join above the broadcast cap (chunked block-nested
+    loop) must emit IDENTICAL (id_a, id_b, cosine_e6) rows to the
+    single-broadcast path (VERDICT r3 #2)."""
+    from lasvdedup_ray.pipelines.ann import embedding_neardup_pairs
+
+    sf = "/root/testdata/sf0.001"
+    full = embedding_neardup_pairs(sf).to_pandas()
+    # tiny cap: 64-dim float64 rows are 512 B, so 80 rows/chunk -> 7 chunks
+    chunked = embedding_neardup_pairs(sf, broadcast_cap_bytes=80 * 64 * 8).to_pandas()
+    assert len(full) > 0
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), chunked.reset_index(drop=True)
+    )
