@@ -92,6 +92,11 @@ def _q6(x: np.ndarray) -> np.ndarray:
     return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
 
 
+def _quant6_mat(m: np.ndarray) -> np.ndarray:
+    """e6-quantized copy of a float matrix (exact micro-unit grid)."""
+    return _q6(m) / 1e6
+
+
 def _load_matrix(sf_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     """(ids, L2-normalized matrix) — the broadcast side."""
     import pyarrow.parquet as pq
@@ -637,7 +642,10 @@ def embedding_kmeans(
     Determinism: init = the k lowest vec_ids' vectors; partials are
     reduced in sorted (centroid, min vec_id in batch) order so float
     summation order is reproducible run to run at any parallelism.
-    Iterative -> not SQL-expressible; pinned by a pytest numpy oracle."""
+    Centroids are e6-quantized at every iteration boundary, which keeps
+    the pure-numpy replay (``kmeans_centroids_replay``) in exact lockstep
+    regardless of batch boundaries — that replay feeds the DuckDB oracle,
+    which independently re-derives the final assignment + stats pass."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # consumed iters+1 times; slim 2-column table
@@ -660,7 +668,9 @@ def embedding_kmeans(
         ds.map_batches(bottom, batch_format="pyarrow").take_all(),
         key=lambda r: r["vec_id"],
     )[:k]
-    cents = _norm(np.array([r["embedding"] for r in seed_rows], dtype=np.float64))
+    cents = _quant6_mat(
+        _norm(np.array([r["embedding"] for r in seed_rows], dtype=np.float64))
+    )
 
     for _ in range(iters):
         cref = ray.put(cents)
@@ -700,7 +710,9 @@ def embedding_kmeans(
                 nv = np.linalg.norm(v)
                 if nv > 0:
                     new[ci] = v / nv
-        cents = new
+        # e6 grid between iterations: re-syncs the numpy replay with the
+        # distributed run no matter how blocks were batched
+        cents = _quant6_mat(new)
 
     # final stats pass: per-cluster size + mean cosine to centroid
     cref = ray.put(cents)
@@ -746,6 +758,40 @@ def embedding_kmeans(
         return quantize(out, ["mean_cos"], scale=1_000_000, suffix="_e6")
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("cluster_id")
+
+
+def kmeans_centroids_replay(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> np.ndarray:
+    """Pure-numpy single-process replay of ``embedding_kmeans``'s centroid
+    iteration — same deterministic init (k lowest vec_ids), same update,
+    same per-iteration e6 quantization.  The quantization grid re-syncs
+    both replicas every iteration, so this matches the distributed run
+    bit-for-bit (modulo the measure-zero event of a true sum landing
+    within float-noise of a half-micro boundary).  Feeds the DuckDB
+    oracle's centroid literals; also pinned directly by pytest."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = _ids(t["vec_id"])
+    mat = _list_matrix(t["embedding"])
+    nr = np.linalg.norm(mat, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    m = mat / nr
+    order = np.argsort(ids, kind="stable")
+    cents = _quant6_mat(m[order[:k]])
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        new = cents.copy()
+        for ci in range(len(cents)):
+            sel = assign == ci
+            if sel.any():
+                v = m[sel].sum(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    new[ci] = v / nv
+        cents = _quant6_mat(new)
+    return cents
 
 
 def label_centroids(sf_dir: str) -> ray.data.Dataset:

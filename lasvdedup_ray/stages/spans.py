@@ -69,7 +69,10 @@ def longest_common_substring(a: bytes, b: bytes) -> Tuple[int, int, int]:
 
     Binary search on length; at each probe the L-gram hash sets of both
     strings are intersected (numpy), and every hash match is confirmed
-    byte-for-byte before being accepted.
+    byte-for-byte before being accepted.  Among the maximum-length
+    matches the DETERMINISTIC one is returned: smallest offset_a, then
+    smallest offset_b — so the result is a pure function of the inputs
+    and SQL-replayable (the driver's DuckDB oracle mirrors this rule).
     """
     if not a or not b:
         return 0, 0, 0
@@ -79,19 +82,27 @@ def longest_common_substring(a: bytes, b: bytes) -> Tuple[int, int, int]:
     state_b = _prefix_state(bb)
 
     def probe(L: int) -> Optional[Tuple[int, int]]:
+        """Smallest (offset_a, offset_b) match of length L, or None."""
         if L == 0:
             return (0, 0)
         if L > len(aa) or L > len(bb):
             return None
         ha = _window_hashes(state_a, len(aa), L)
         hb = _window_hashes(state_b, len(bb), L)
+        # np.intersect1d returns the FIRST occurrence index of each common
+        # hash in both arrays, so min over confirmed ia == the smallest
+        # offset_a over all window matches, and its ib == the smallest
+        # offset_b carrying that same substring (modulo hash collisions,
+        # handled below).
         common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
         if common.shape[0] == 0:
             return None
-        # confirm (hash collisions are ~2^-64 but the result must be exact)
-        for pa_, pb_ in zip(ia, ib):
+        # confirm in ascending offset_a order (hash collisions are ~2^-64
+        # but the result must be exact AND deterministic)
+        for k in np.argsort(ia, kind="stable"):
+            pa_, pb_ = int(ia[k]), int(ib[k])
             if a[pa_ : pa_ + L] == b[pb_ : pb_ + L]:
-                return (int(pa_), int(pb_))
+                return (pa_, pb_)
         # all candidates were collisions: fall back to full cross-check of
         # matching hashes (vanishingly rare)
         order = np.argsort(hb, kind="stable")
@@ -106,15 +117,13 @@ def longest_common_substring(a: bytes, b: bytes) -> Tuple[int, int, int]:
         return None
 
     lo, hi = 0, min(len(aa), len(bb))
-    best = (0, 0)
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        hit = probe(mid)
-        if hit is not None:
-            best = hit
+        if probe(mid) is not None:
             lo = mid
         else:
             hi = mid - 1
+    best = probe(lo)
     return lo, best[0], best[1]
 
 

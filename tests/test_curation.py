@@ -471,3 +471,33 @@ def test_label_centroids_matches_numpy(ray_session, tmp_path):
         assert np.abs(sub["centroid_e6"].to_numpy() - exp_mean).max() <= 1
         assert np.abs(sub["variance_e6"].to_numpy() - exp_var).max() <= 1
         assert (sub["n_vecs"] == len(sel)).all()
+
+
+def test_kmeans_replay_lockstep_with_distributed(ray_session):
+    """kmeans_centroids_replay (the DuckDB oracle's constant source) must
+    be in exact lockstep with the distributed run: stats derived from the
+    replayed centroids equal embedding_kmeans's output bit-for-bit."""
+    from lasvdedup_ray.pipelines.ann import (
+        _list_matrix,
+        _q6,
+        embedding_kmeans,
+        kmeans_centroids_replay,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = embedding_kmeans(sf).to_pandas().sort_values("cluster_id")
+    cents = kmeans_centroids_replay(sf)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = _list_matrix(t["embedding"])
+    nr = np.linalg.norm(m, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    m = m / nr
+    sims = m @ cents.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(m)), assign]
+    k = cents.shape[0]
+    sizes = np.bincount(assign, minlength=k)
+    mean_cos = np.bincount(assign, weights=best, minlength=k) / np.maximum(sizes, 1)
+    assert (out["n_members"].to_numpy() == sizes).all()
+    assert (out["mean_cos_e6"].to_numpy() == _q6(mean_cos)).all()
