@@ -205,6 +205,14 @@ class PipelineConfig:
     # together even without LSH evidence (the reference groups per sample
     # before any distance work)
     group_regex: Optional[str] = None
+    # reference-parity grouping mode (sequence_grouping.py:29-37 +
+    # :185-353): clusters come from the group_regex ONLY — content
+    # similarity never merges rows across groups; signatures still feed the
+    # in-cluster decision tree (pairwise distances, outlier detection).
+    # This is exactly the reference's semantics, where contigs are grouped
+    # per sample up front and distances are only consulted WITHIN a
+    # sample's group.  Requires group_regex.
+    group_only: bool = False
 
     def thresholds_for(self, lang: Optional[str]) -> ClassThresholds:
         if lang is not None and lang in self.lang_thresholds:

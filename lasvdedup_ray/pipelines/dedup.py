@@ -104,6 +104,8 @@ def dedup_pipeline(
     the verified edge list — the scalable analog of the reference's dense
     ``.mldist`` distance-matrix sink (``io_utils.py:69-83``)."""
     config = config or PipelineConfig()
+    if config.group_only and not config.group_regex:
+        raise ValueError("group_only=True requires group_regex")
     # schema validation up front (reference: missing-column ValueError,
     # io_utils.py:39-42) — fail fast instead of deep inside a shuffle
     schema_names = set(ds.schema().names)
@@ -141,21 +143,27 @@ def dedup_pipeline(
             "signed",
         )
         signed_slim = signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
-        near_edges = verify_pairs(
-            candidate_pairs(
-                signed_slim.select_columns(["id", "minhash", "simhash"]),
+        if config.group_only:
+            # reference-parity mode: no content-derived edges at all
+            from ..stages.lsh import PAIR_SCHEMA
+
+            edges = ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+        else:
+            near_edges = verify_pairs(
+                candidate_pairs(
+                    signed_slim.select_columns(["id", "minhash", "simhash"]),
+                    config.signature,
+                    config.lsh,
+                    tau=emit_tau,
+                    n_rows_hint=signed.count(),  # pinned upstream: metadata count
+                ),
+                signed.select_columns(["id", "content"]),
                 config.signature,
                 config.lsh,
-                tau=emit_tau,
-                n_rows_hint=signed.count(),  # pinned upstream: metadata count
-            ),
-            signed.select_columns(["id", "content"]),
-            config.signature,
-            config.lsh,
-            tau=tau,
-            num_partitions=num_partitions,
-        )
-        edges = near_edges.union(e_edges)
+                tau=tau,
+                num_partitions=num_partitions,
+            )
+            edges = near_edges.union(e_edges)
         # propagate each sha-representative's signature to every member row
         meta = slim_all.join(
             signed_slim.select_columns(["sha_hex", "minhash", "simhash"]),
@@ -190,60 +198,68 @@ def dedup_pipeline(
 
             return ray.data.from_arrow(RESULT_SCHEMA.empty_table())
         meta = signed.select_columns(SLIM_COLS + ["minhash", "simhash"])
-        if config.checkpoint_dir is None and n_rows_in <= ex.exact_driver_cap:
-            # small input: the sha collapse runs on the driver (one slim
-            # streamed pass + lexsort) instead of paying the groupby
-            # exchange's fixed all-to-all cost; reps are recovered by an
-            # exact broadcast is_in filter over the pinned signed dataset
-            from ..stages.exact import exact_collapse_driver
+        if config.group_only:
+            # reference-parity mode (sequence_grouping.py:29-37): clusters
+            # come from group_regex only; signatures still feed the
+            # in-cluster decision tree
+            from ..stages.lsh import PAIR_SCHEMA
 
-            rep_ids, edges_tbl = exact_collapse_driver(signed)
-            n_reps = len(rep_ids)
-            # ship the rep-id set through plasma once (ray.put + per-worker
-            # cache), not pickled into every task closure
-            rep_ref = ray.put(pa.array(list(rep_ids), pa.string()))
-
-            def keep_reps(t: pa.Table) -> pa.Table:
-                if rep_ref not in _WORKER_REP_CACHE:
-                    _WORKER_REP_CACHE.clear()
-                    _WORKER_REP_CACHE[rep_ref] = ray.get(rep_ref)
-                return t.filter(
-                    pc.is_in(t["id"], value_set=_WORKER_REP_CACHE[rep_ref])
-                )
-
-            reps_slim = signed.select_columns(
-                ["id", "sha_hex", "minhash", "simhash"]
-            ).map_batches(keep_reps, batch_format="pyarrow")
-            e_edges = ray.data.from_arrow(edges_tbl)
+            edges = ray.data.from_arrow(PAIR_SCHEMA.empty_table())
         else:
-            # ONE sha shuffle yields both the per-sha representatives and
-            # the zero-distance star edges (two separate groupbys before r3)
-            from ..stages.exact import exact_collapse, fused_edges, fused_reps
+            if config.checkpoint_dir is None and n_rows_in <= ex.exact_driver_cap:
+                # small input: the sha collapse runs on the driver (one slim
+                # streamed pass + lexsort) instead of paying the groupby
+                # exchange's fixed all-to-all cost; reps are recovered by an
+                # exact broadcast is_in filter over the pinned signed dataset
+                from ..stages.exact import exact_collapse_driver
 
-            fused = ck.pin(
-                exact_collapse(
-                    signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+                rep_ids, edges_tbl = exact_collapse_driver(signed)
+                n_reps = len(rep_ids)
+                # ship the rep-id set through plasma once (ray.put + per-worker
+                # cache), not pickled into every task closure
+                rep_ref = ray.put(pa.array(list(rep_ids), pa.string()))
+
+                def keep_reps(t: pa.Table) -> pa.Table:
+                    if rep_ref not in _WORKER_REP_CACHE:
+                        _WORKER_REP_CACHE.clear()
+                        _WORKER_REP_CACHE[rep_ref] = ray.get(rep_ref)
+                    return t.filter(
+                        pc.is_in(t["id"], value_set=_WORKER_REP_CACHE[rep_ref])
+                    )
+
+                reps_slim = signed.select_columns(
+                    ["id", "sha_hex", "minhash", "simhash"]
+                ).map_batches(keep_reps, batch_format="pyarrow")
+                e_edges = ray.data.from_arrow(edges_tbl)
+            else:
+                # ONE sha shuffle yields both the per-sha representatives and
+                # the zero-distance star edges (two separate groupbys before r3)
+                from ..stages.exact import exact_collapse, fused_edges, fused_reps
+
+                fused = ck.pin(
+                    exact_collapse(
+                        signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
+                    ),
+                    "reps",
+                )
+                reps_slim = fused_reps(fused)
+                n_reps = reps_slim.count()  # cheap filter pass over pinned fused
+                e_edges = fused_edges(fused)
+            near_edges = verify_pairs(
+                candidate_pairs(
+                    reps_slim.select_columns(["id", "minhash", "simhash"]),
+                    config.signature,
+                    config.lsh,
+                    tau=emit_tau,
+                    n_rows_hint=n_reps,
                 ),
-                "reps",
-            )
-            reps_slim = fused_reps(fused)
-            n_reps = reps_slim.count()  # cheap filter pass over pinned fused
-            e_edges = fused_edges(fused)
-        near_edges = verify_pairs(
-            candidate_pairs(
-                reps_slim.select_columns(["id", "minhash", "simhash"]),
+                signed.select_columns(["id", "content"]),
                 config.signature,
                 config.lsh,
-                tau=emit_tau,
-                n_rows_hint=n_reps,
-            ),
-            signed.select_columns(["id", "content"]),
-            config.signature,
-            config.lsh,
-            tau=tau,
-            num_partitions=num_partitions,
-        )
-        edges = near_edges.union(e_edges)
+                tau=tau,
+                num_partitions=num_partitions,
+            )
+            edges = near_edges.union(e_edges)
 
     if rank_table is not None:
         # metadata/ranking side table (reference: contigs TSV joined per
