@@ -39,6 +39,37 @@ def sha256_bytes(values: Iterable[bytes]) -> List[bytes]:
     return [d(v).digest() for v in values]
 
 
+def sha256_column(col) -> List[bytes]:
+    """sha256 digest per row of a string/large_string (or binary) column,
+    hashed directly from the Arrow values buffer via memoryview slices —
+    the utf-8 bytes already sit contiguously in the buffer, so no per-row
+    Python string materialization or re-encode happens (VERDICT r3 #7;
+    same zero-copy pattern as ``shingle_hashes_batch``).  Equal digests to
+    ``sha256_bytes(s.encode() for s in col.to_pylist())``."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        out: List[bytes] = []
+        for ch in col.chunks:
+            out.extend(sha256_column(ch))
+        return out
+    n = len(col)
+    if n == 0:
+        return []
+    d = hashlib.sha256
+    bufs = col.buffers()
+    if bufs[2] is None:  # all rows empty: no values buffer allocated
+        return [d(b"").digest()] * n
+    wide = pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    mv = memoryview(bufs[2])
+    lo = offs[:-1].tolist()
+    hi = offs[1:].tolist()
+    return [d(mv[s:e]).digest() for s, e in zip(lo, hi)]
+
+
 def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     """Unique 64-bit hashes of all character k-grams of ``data``.
 

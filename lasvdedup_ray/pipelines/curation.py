@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.hashing import sha256_bytes, splitmix64
+from ..functions.hashing import sha256_bytes, sha256_column, splitmix64
 from ..functions.text import TOKEN_REGEX
 from .relational import quantize
 
@@ -64,7 +64,7 @@ def pii_redact_docs(sf_dir: str) -> ray.data.Dataset:
         for pat, repl in PII_REPLACEMENTS:
             red = pc.replace_substring_regex(red, pat, repl)
         sha = [
-            d.hex() for d in sha256_bytes(s.encode("utf-8") for s in red.to_pylist())
+            d.hex() for d in sha256_column(red)
         ]
         return pa.table(
             {

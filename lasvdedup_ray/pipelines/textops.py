@@ -18,7 +18,7 @@ import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 from ..config import SignatureConfig
-from ..functions.hashing import hamming64, sha256_bytes
+from ..functions.hashing import hamming64, sha256_bytes, sha256_column
 from ..functions.text import (
     language_id,
     quality_metrics,
@@ -78,7 +78,7 @@ def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_batch(t: pa.Table) -> pa.Table:
-        digests = sha256_bytes(s.encode("utf-8") for s in t["text"].to_pylist())
+        digests = sha256_column(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -355,7 +355,7 @@ def normalized_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         s = pc.replace_substring_regex(s, pattern="[^a-z0-9 ]+", replacement=" ")
         s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
         s = pc.utf8_trim_whitespace(s)
-        digests = sha256_bytes(v.encode("utf-8") for v in s.to_pylist())
+        digests = sha256_column(s)
         part = pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -406,7 +406,7 @@ def incremental_dedup_docs(sf_dir: str) -> ray.data.Dataset:
 
     def tag(t: pa.Table) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        digests = sha256_bytes(s.encode("utf-8") for s in t["text"].to_pylist())
+        digests = sha256_column(t["text"])
         raw = np.frombuffer(b"".join(d[:16] for d in digests), dtype=np.uint64)
         h1, h2 = raw[0::2].copy(), raw[1::2].copy()
         kind = (did % 2 == 0).astype(np.int8)  # 1 = index, 0 = incoming

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import sha256_bytes
+from ..functions.hashing import sha256_column
 from ..functions.text import line_counts
 
 
@@ -29,7 +29,9 @@ def make_row_ids(t: pa.Table) -> pa.Array:
 def prepare_batch(t: pa.Table) -> pa.Table:
     content = t["content"]
     ids = make_row_ids(t)
-    digests = sha256_bytes(s.encode("utf-8") for s in content.to_pylist())
+    # digests straight off the Arrow values buffer — no per-row Python
+    # string round-trip (VERDICT r3 #7)
+    digests = sha256_column(content)
     sha_hex = pa.array([d.hex() for d in digests], pa.string())
     sha_bin = pa.array(digests, pa.binary())
     t = t.append_column("id", ids)

@@ -200,3 +200,29 @@ def test_shingle_hashes_batch_large_string_and_sliced():
         np.testing.assert_array_equal(
             hc[offs[i] : offs[i] + cnts[i]], shingle_hashes(d.encode(), 8)
         )
+
+
+def test_sha256_column_zero_copy_equals_pylist_path():
+    """sha256_column (Arrow-buffer memoryview path) must produce identical
+    digests to hashing each row's utf-8 encoding — including non-ASCII,
+    empty strings, sliced arrays, chunked arrays, and large_string."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from lasvdedup_ray.functions.hashing import sha256_column
+
+    vals = ["", "hello", "héllo wörld ☃", "a" * 10_000, "newline\n\ttab", "0"]
+    expect = [hashlib.sha256(s.encode("utf-8")).digest() for s in vals]
+    for typ in (pa.string(), pa.large_string()):
+        arr = pa.array(vals, typ)
+        assert sha256_column(arr) == expect
+        # non-zero offset slice
+        assert sha256_column(arr.slice(2, 3)) == expect[2:5]
+        # chunked
+        ch = pa.chunked_array([arr.slice(0, 2), arr.slice(2)])
+        assert sha256_column(ch) == expect
+    # all-empty column (values buffer may be absent)
+    assert sha256_column(pa.array(["", ""], pa.string())) == [
+        hashlib.sha256(b"").digest()
+    ] * 2
