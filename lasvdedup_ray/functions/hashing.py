@@ -9,9 +9,20 @@ hashing + shingle hashing that scales linearly in corpus size.
 from __future__ import annotations
 
 import hashlib
+import sys
 from typing import Iterable, List, Sequence, Tuple
 
 import numpy as np
+
+# The simhash kernels view uint64 arrays as bytes and unpack with
+# bitorder='little'; on a big-endian host they would silently produce wrong
+# fingerprints rather than fail (ADVICE r3) — refuse to import instead.
+if sys.byteorder != "little":  # pragma: no cover - no big-endian CI host
+    raise ImportError(
+        "lasvdedup_ray.functions.hashing assumes a little-endian host: the "
+        "uint64 byte-view + unpackbits(bitorder='little') simhash kernels "
+        "would silently mis-hash on big-endian platforms"
+    )
 
 U64 = np.uint64
 _POLY_MULT = U64(1099511628211)        # FNV-ish odd multiplier for rolling hash

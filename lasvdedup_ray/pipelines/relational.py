@@ -973,6 +973,20 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
+    # seed every stage with a zero-count row so the output shape is
+    # corpus-independent — with NO funnel-stage events at all the partition
+    # pass emits zero groups, but the SQL oracle's UNION ALL of scalar
+    # subqueries always returns len(FUNNEL_STAGES) rows (ADVICE r3)
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "stage": pa.array(
+                    np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64), pa.int64()
+                ),
+                "n_users": pa.array(np.zeros(len(FUNNEL_STAGES), np.int64), pa.int64()),
+            }
+        )
+    )
     agg = (
         ds.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
@@ -980,6 +994,7 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
             lambda t: funnel_partition(t.drop_columns(["pkey"])),
             batch_format="pyarrow",
         )
+        .union(seed)
         .groupby("stage")
         .aggregate(Sum("n_users", alias_name="n_users"))
     )

@@ -214,6 +214,14 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
             .aggregate([("tok", "count")])
         )
         ids = tf_t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc_id = -1 is the in-band sentinel row carrying per-batch corpus
+        # stats (n_docs / total length); a real doc with that id would be
+        # silently folded into the stats (ADVICE r3) — reject loudly
+        if ids.size and int(ids.min()) < 0:
+            raise ValueError(
+                "bm25_topk requires non-negative doc_id values "
+                f"(got {int(ids.min())}); doc_id=-1 is reserved"
+            )
         dl_of = dl_n[np.searchsorted(dl_ids, ids)]
         return pa.table(
             {
@@ -306,6 +314,13 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("contrib", alias_name="score"))
     )
 
+    # Accepted-risk note (ADVICE r3): per-term float64 contributions merge
+    # through Ray's Sum aggregate (merge order nondeterministic) and only
+    # then e6-quantize; a half-ulp reorder vs DuckDB's summation could in
+    # principle flip the floor at an exact .5e-6 boundary.  With <=9 query
+    # terms per doc the reorder error is ~1e-13 of the score, so a flip
+    # needs the true sum within 1e-13 of a boundary — measure-zero on this
+    # corpus and monitored by the driver's hash gate every round.
     def quantize_scores(t: pa.Table) -> pa.Table:
         s = t["score"].to_numpy(zero_copy_only=False)
         q = np.where(s >= 0, np.floor(s * 1e6 + 0.5), np.ceil(s * 1e6 - 0.5))

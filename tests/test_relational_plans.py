@@ -252,3 +252,35 @@ def test_props_value_stats_malformed_rows(tmp_path):
         for r in out.itertuples()
     }
     assert got == {"a": (3, -4, 10, 3000000), "b": (1, 7, 7, 7000000)}
+
+
+def test_event_funnel_empty_corpus_keeps_stage_rows(ray_session, tmp_path):
+    """With NO funnel-stage events at all, every stage still gets a
+    zero-count row — matching the SQL oracle's corpus-independent shape
+    (ADVICE r3)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.relational import FUNNEL_STAGES, event_funnel
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(
+                    np.array([0, 1_000_000], dtype="datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "event_type": pa.array(["unrelated", "noise"], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    out = event_funnel(str(d)).to_pandas()
+    assert len(out) == len(FUNNEL_STAGES)
+    assert (out["n_users"] == 0).all()
+    assert out["event_type"].tolist() == list(FUNNEL_STAGES)
