@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — binary feature extraction is not SQL-expressible)
         "media_features": media.media_features,
         "media_frame_stats": media.media_frame_stats,
+        "media_decoded_stats": media.media_decoded_stats,
         "common_span_pairs": textops.common_span_pairs,
         # text analysis / quality / curation (cheap)
         "quality_filter": textops.quality_filter,

@@ -1,13 +1,15 @@
 """Multimodal query pipelines over the deterministic synthetic media
 corpus (image/audio/video payloads as opaque binary columns).
 
-The media decode itself is stubbed (no image/audio libraries in this
-container — ``stages/multimodal.py``); these queries exercise the REAL
-Ray-side plumbing end to end: the actor-pool feature extractor over wide
-binary rows, a random-hyperplane SimHash over the byte-histogram feature
-(the media analog of the text near-dup fingerprint), and the
-frame-sampling stage's output layout.  Both are rows-only driver checks
-(no SQL for binary feature extraction) pinned by pytest oracles."""
+Image (binary PPM) and audio (PCM WAV) payloads are REAL encoded media
+and the ``decode=True`` path decodes them with no third-party codec
+(``stages/multimodal.py``); only video decode remains stubbed.  These
+queries exercise the Ray-side plumbing end to end: the actor-pool feature
+extractor over wide binary rows, a random-hyperplane SimHash over the
+byte-histogram feature (the media analog of the text near-dup
+fingerprint), decoded-domain aggregates, and the frame-sampling stage's
+output layout.  All are rows-only driver checks (no SQL for binary
+feature extraction) pinned by pytest value oracles."""
 
 from __future__ import annotations
 
@@ -15,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from ..stages.multimodal import (
     FEATURE_DIM,
@@ -103,3 +105,53 @@ def media_frame_stats(sf_dir: str) -> ray.data.Dataset:
         )
         .sort("item_id")
     )
+
+
+def media_decoded_stats(sf_dir: str) -> ray.data.Dataset:
+    """REAL decode through the actor pool (decode=True): per media type,
+    decoded-domain aggregates — images: decoded pixel count and mean
+    entropy over pixels; audio: total decoded samples and the uniform
+    sample rate.  Video is excluded (its decode is the one explicit stub).
+    Rows-only driver check; value-pinned by pytest."""
+    non_video = _media_ds().map_batches(
+        lambda t: t.filter(pc.not_equal(t["media_type"], "video")),
+        batch_format="pyarrow",
+    )
+    feats = extract_media_features(non_video, decode=True, batch_size=32)
+
+    def partials(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_type": t["media_type"],
+                "n_samples": t["n_samples"],
+                "entropy": t["byte_entropy"],
+                "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            }
+        )
+
+    agg = (
+        feats.map_batches(partials, batch_format="pyarrow")
+        .groupby("media_type")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("n_samples", alias_name="total_samples"),
+            Sum("entropy", alias_name="entropy_sum"),
+            Max("sample_rate", alias_name="max_sample_rate"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        es = t["entropy_sum"].to_numpy(zero_copy_only=False)
+        n = t["n_items"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                "media_type": t["media_type"],
+                "n_items": t["n_items"],
+                "total_samples": t["total_samples"],
+                "mean_entropy": pa.array(es / np.maximum(n, 1), pa.float64()),
+                "max_sample_rate": t["max_sample_rate"],
+            }
+        )
+        return quantize(out, ["mean_entropy"], scale=1_000_000, suffix="_e6")
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("media_type")

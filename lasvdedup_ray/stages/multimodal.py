@@ -2,11 +2,13 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (``MEDIA_SCHEMA``).  The Ray-side plumbing — schema, actor-pool signature,
-batch sizing for large binary rows, output layout — is real and tested;
-the pixel/sample *decode* itself is STUBBED (image/audio libraries are not
-in this container): ``decode=True`` raises ``NotImplementedError`` unless
-PIL/soundfile import succeeds, and the deterministic byte-level feature
-path stands in for model features.
+batch sizing for large binary rows, output layout — is real and tested.
+The decode path (``decode=True``) is REAL for two formats that need no
+third-party codec (VERDICT r3 #8): binary PPM (P6) images and PCM WAV
+audio (stdlib ``wave``), both of which the synthetic corpus emits as
+genuine encoded payloads.  Video remains the one explicit stub
+(``NotImplementedError`` — no pure-Python video codec exists), and PIL is
+probed as an optional fallback for other image formats.
 
 Batch-size note (memory-aware, SURVEY §4): media rows are wide — callers
 should pass ``batch_size`` small enough that
@@ -16,11 +18,57 @@ should pass ``batch_size`` small enough that
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
+import io
+import wave
+from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
 import ray.data
+
+
+def parse_ppm(b: bytes) -> Tuple[int, int, np.ndarray]:
+    """(width, height, flat uint8 RGB pixels) from a binary PPM (P6).
+
+    Pure-Python header parse (magic, whitespace/comments, dims, maxval)
+    + zero-copy np.frombuffer over the raster."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":  # comment to end of line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError(f"16-bit PPM not supported (maxval={maxval})")
+    n = w * h * 3
+    raster = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+    return w, h, raster
+
+
+def parse_wav(b: bytes) -> Tuple[int, int, np.ndarray]:
+    """(sample_rate, n_channels, int16 samples) from a PCM WAV payload —
+    stdlib ``wave``, no external codec."""
+    with wave.open(io.BytesIO(b), "rb") as wf:
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        samples = np.frombuffer(frames, dtype=np.int16)
+    elif sw == 1:  # 8-bit WAV is unsigned; recenter to signed
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+    else:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    return rate, nch, samples
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -39,54 +87,103 @@ FEATURE_DIM = 64
 class MediaFeatureExtractor:
     """Actor-pool stage: deterministic features per media payload.
 
-    ``__init__`` (once per actor) probes optional decoders; ``__call__``
-    (per batch) emits byte-level features: size, sha256 prefix, a 64-bin
-    byte histogram (L1-normalized) usable as a near-dup embedding, and
-    Shannon entropy.  With ``decode=True`` and no decoder available the
-    stage raises ``NotImplementedError`` — the clearly-marked stub.
+    ``__init__`` (once per actor) wires the decoders; ``__call__`` (per
+    batch) emits size, sha256 prefix, a 64-bin L1-normalized histogram
+    usable as a near-dup embedding, and Shannon entropy.
+
+    ``decode=False``: features over the raw payload BYTES.
+    ``decode=True``: REAL decode for PPM images (pure-Python header parse)
+    and PCM WAV audio (stdlib ``wave``); features are computed over the
+    DECODED domain (pixels / samples) and decode metadata columns are
+    added (decoded_width/height, sample_rate, n_samples; -1 where not
+    applicable).  PIL is probed as an optional fallback for other image
+    formats.  Video payloads still raise ``NotImplementedError`` — the one
+    remaining, clearly-marked stub (no pure-Python video codec).
     """
 
     def __init__(self, decode: bool = False):
         self.decode = decode
         self.pil = None
         if decode:
-            try:  # gated optional dependency — absent in this container
+            try:  # optional extra image formats — absent in this container
                 import PIL.Image  # type: ignore
 
                 self.pil = PIL.Image
             except ImportError:
-                raise NotImplementedError(
-                    "media decode requested but no image library is available; "
-                    "byte-level features (decode=False) are the supported path"
-                )
+                self.pil = None  # PPM/WAV built-ins still available
+
+    def _decode_image(self, p: bytes) -> np.ndarray:
+        """(flat uint8 pixels, width, height) for PPM (or PIL formats)."""
+        if p.startswith(b"P6"):
+            w, h, raster = parse_ppm(p)
+            self._last_dims = (w, h)
+            return raster
+        if self.pil is not None:
+            img = self.pil.open(io.BytesIO(p))
+            arr = np.asarray(img, dtype=np.uint8).ravel()
+            self._last_dims = (img.width, img.height)
+            return arr
+        raise NotImplementedError(
+            "image decode: only binary PPM (P6) is supported without PIL"
+        )
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()
+        mtypes = t["media_type"].to_pylist()
         n = len(payloads)
         sizes = np.empty(n, dtype=np.int64)
         entropy = np.empty(n, dtype=np.float64)
         hists = np.empty((n, FEATURE_DIM), dtype=np.float64)
         digests = []
-        for i, p in enumerate(payloads):
-            b = np.frombuffer(p, dtype=np.uint8) if p else np.zeros(1, np.uint8)
+        dec_w = np.full(n, -1, dtype=np.int32)
+        dec_h = np.full(n, -1, dtype=np.int32)
+        rates = np.full(n, -1, dtype=np.int32)
+        n_samples = np.full(n, -1, dtype=np.int64)
+        for i, (p, mt) in enumerate(zip(payloads, mtypes)):
             sizes[i] = len(p or b"")
+            digests.append(hashlib.sha256(p or b"").digest()[:8])
+            if self.decode:
+                if mt == "image":
+                    self._last_dims = (-1, -1)
+                    pix = self._decode_image(p)
+                    dec_w[i], dec_h[i] = self._last_dims
+                    n_samples[i] = pix.size
+                    b = pix if pix.size else np.zeros(1, np.uint8)
+                elif mt == "audio":
+                    rate, nch, samples = parse_wav(p)
+                    rates[i] = rate
+                    n_samples[i] = samples.size // max(nch, 1)
+                    # int16 samples -> 64 bins over the full signed range
+                    b = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+                    if b.size == 0:
+                        b = np.zeros(1, np.uint8)
+                else:
+                    raise NotImplementedError(
+                        f"decode for media_type={mt!r} is not implemented "
+                        "(no pure-Python video codec); use decode=False"
+                    )
+            else:
+                b = np.frombuffer(p, dtype=np.uint8) if p else np.zeros(1, np.uint8)
             h = np.bincount(b >> 2, minlength=FEATURE_DIM).astype(np.float64)
             tot = h.sum() or 1.0
             h /= tot
             hists[i] = h
             nz = h[h > 0]
             entropy[i] = float(-(nz * np.log2(nz)).sum())
-            digests.append(hashlib.sha256(p or b"").digest()[:8])
-        return pa.table(
-            {
-                "item_id": t["item_id"],
-                "media_type": t["media_type"],
-                "n_bytes": pa.array(sizes, pa.int64()),
-                "sha8": pa.array(digests, pa.binary()),
-                "byte_entropy": pa.array(np.round(entropy, 6), pa.float64()),
-                "feature": pa.array(list(hists), pa.list_(pa.float64())),
-            }
-        )
+        cols = {
+            "item_id": t["item_id"],
+            "media_type": t["media_type"],
+            "n_bytes": pa.array(sizes, pa.int64()),
+            "sha8": pa.array(digests, pa.binary()),
+            "byte_entropy": pa.array(np.round(entropy, 6), pa.float64()),
+            "feature": pa.array(list(hists), pa.list_(pa.float64())),
+        }
+        if self.decode:
+            cols["decoded_width"] = pa.array(dec_w, pa.int32())
+            cols["decoded_height"] = pa.array(dec_h, pa.int32())
+            cols["sample_rate"] = pa.array(rates, pa.int32())
+            cols["n_samples"] = pa.array(n_samples, pa.int64())
+        return pa.table(cols)
 
 
 def extract_media_features(
@@ -141,19 +238,55 @@ def frame_sample_stub(ds: ray.data.Dataset, every_ms: int = 1000) -> ray.data.Da
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=32)
 
 
+SYNTH_WAV_RATE = 8000
+
+
+def encode_ppm(w: int, h: int, raster: np.ndarray) -> bytes:
+    """Binary PPM (P6) payload from flat uint8 RGB pixels."""
+    return b"P6\n%d %d\n255\n" % (w, h) + raster.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = SYNTH_WAV_RATE) -> bytes:
+    """Mono PCM-16 WAV payload from int16 samples (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media_table(n: int = 32, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic synthetic media corpus: image payloads are REAL binary
+    PPMs, audio payloads are REAL PCM-16 WAVs (both decodable by the
+    ``decode=True`` path with no third-party codec); video payloads stay
+    opaque random bytes — the one format whose decode is stubbed."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in MEDIA_SCHEMA.names}
     for i in range(n):
         mt = types[i % 3]
-        size = int(rng.integers(200, 4000))
-        payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        if mt == "image":
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 24))
+            raster = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+            payload = encode_ppm(w, h, raster)
+            width, height, dur = w, h, -1
+        elif mt == "audio":
+            dur = int(rng.integers(100, 500))
+            n_frames = dur * SYNTH_WAV_RATE // 1000
+            samples = rng.integers(-32768, 32768, n_frames).astype(np.int16)
+            payload = encode_wav(samples)
+            width, height = -1, -1
+        else:
+            size = int(rng.integers(200, 4000))
+            payload = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+            width, height = -1, -1
+            dur = int(rng.integers(500, 5000))
         rows["item_id"].append(i)
         rows["media_type"].append(mt)
         rows["payload"].append(payload)
-        rows["width"].append(64 if mt == "image" else -1)
-        rows["height"].append(48 if mt == "image" else -1)
-        rows["duration_ms"].append(int(rng.integers(500, 5000)) if mt != "image" else -1)
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["duration_ms"].append(dur)
     return pa.table(rows, schema=MEDIA_SCHEMA)
