@@ -40,6 +40,38 @@ from ray.data.aggregate import Min
 _WORKER_LABEL_CACHE: Dict = {}
 
 
+def strict_project(ds: ray.data.Dataset, cols: List[str]) -> ray.data.Dataset:
+    """``select_columns`` that also projects EMPTY blocks.
+
+    Ray 2.49's Project operator passes zero-row blocks through with their
+    original (wider) schema, yielding mixed-schema bundles downstream —
+    harmless for iter_batches but a crash hazard for Arrow joins and the
+    source of "RefBundle with a different schema" warnings.  A map_batches
+    projection runs on every block, empty or not."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select(cols)
+
+    return ds.map_batches(proj, batch_format="pyarrow")
+
+
+def drop_empty_blocks(ds: ray.data.Dataset) -> Optional[ray.data.Dataset]:
+    """Rebuild a MATERIALIZED dataset from its non-empty blocks only
+    (block refs move, bytes don't).  Zero-row blocks — left behind by
+    selective filters — ride through every downstream operator as
+    schemaless RefBundles (mixed-schema warnings, wasted tasks); filters
+    can't remove them because a map task with empty output still emits a
+    bundle.  Returns None when every block is empty."""
+    refs = []
+    for rb in ds.iter_internal_ref_bundles():
+        for bref, meta in zip(rb.block_refs, rb.metadata):
+            if meta.num_rows:
+                refs.append(bref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
+
+
 class DSU:
     """Union-find with path compression + union by rank; roots resolve to
     the lexicographically smallest member id at finalize time."""
@@ -84,7 +116,7 @@ class DSU:
 def components_driver(edges: ray.data.Dataset) -> Dict[str, str]:
     """Stream (id_a, id_b) batches to a driver DSU; returns node -> label."""
     dsu = DSU()
-    for batch in edges.select_columns(["id_a", "id_b"]).iter_batches(
+    for batch in strict_project(edges, ["id_a", "id_b"]).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
         for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist()):
@@ -110,7 +142,7 @@ def components_distributed(
     then ``groupby(id).min(label)``; a pointer-jumping self-join follows.
     Terminates when a neighbor round leaves every label unchanged.
     """
-    e = edges.select_columns(["id_a", "id_b"]).materialize()
+    e = strict_project(edges, ["id_a", "id_b"]).materialize()
     # symmetric edge view: (src, dst)
     sym = e.map_batches(
         lambda t: pa.table(
@@ -214,7 +246,10 @@ def assign_clusters(
     Nodes untouched by any edge become singleton clusters (cluster_id = id).
     """
     edges = edges.materialize()
-    n_edges = edges.count()
+    compacted = drop_empty_blocks(edges)
+    n_edges = 0 if compacted is None else compacted.count()
+    if compacted is not None:
+        edges = compacted
     if not force_distributed and n_edges <= dsu_edge_limit:
         label_map = components_driver(edges) if n_edges else {}
         ref = ray.put(label_map)
