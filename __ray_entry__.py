@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": ann.embedding_neardup_pairs,
         "embedding_neardup_lsh": ann.embedding_neardup_lsh,
         "embedding_kmeans": ann.embedding_kmeans,
+        "semdedup_embeddings": ann.semdedup_embeddings,
         "label_centroids": ann.label_centroids,
         "decontam_overlap": textops.decontam_overlap,
         # multimodal plumbing (deterministic synthetic media corpus;
@@ -735,6 +736,69 @@ def _embedding_kmeans_sql() -> str:
                     AS BIGINT) AS mean_cos_e6
         FROM cl c LEFT JOIN agg a USING (cluster_id)
         ORDER BY cluster_id
+    """
+
+
+def _semdedup_sql() -> str:
+    """Mirror of ann.semdedup_embeddings: the replayed kmeans centroids
+    (exact lockstep with the distributed run via per-iteration e6
+    quantization) are embedded as literals; DuckDB re-derives the
+    assignment, per-row centroid cosine, and the pairwise-dominance drop
+    rule (dropped iff a strictly-lower-(cent_cos_e6, vec_id) same-cluster
+    row is >= tau-similar)."""
+    from lasvdedup_ray.pipelines.ann import SEMDEDUP_TAU, kmeans_centroids_replay
+
+    cents = kmeans_centroids_replay(_ORACLE_SF_DIR)
+    rows = ",\n                ".join(
+        f"({c}, {d + 1}, {cents[c, d]:.17g})"
+        for c in range(cents.shape[0])
+        for d in range(cents.shape[1])
+    )
+    tau_e6 = int(round(SEMDEDUP_TAU * 1e6))
+    return f"""
+        WITH cents(cell, d, w) AS (VALUES
+                {rows}
+        ), x AS (
+            SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                   generate_subscripts(embedding, 1) AS d
+            FROM embeddings
+        ), nrm AS (
+            SELECT vec_id,
+                   CASE WHEN sqrt(sum(v * v)) = 0 THEN 1
+                        ELSE sqrt(sum(v * v)) END AS nr
+            FROM x GROUP BY 1
+        ), dots AS (
+            SELECT x.vec_id, c.cell, sum(x.v * c.w) AS dot
+            FROM x JOIN cents c ON c.d = x.d GROUP BY 1, 2
+        ), best AS (
+            SELECT d.vec_id, d.cell, d.dot / n.nr AS cos,
+                   row_number() OVER (
+                       PARTITION BY d.vec_id ORDER BY d.dot DESC, d.cell
+                   ) AS rn
+            FROM dots d JOIN nrm n USING (vec_id)
+        ), assign AS (
+            SELECT vec_id, cell AS cluster_id,
+                   CAST(round(cos * 1000000) AS BIGINT) AS cent_cos_e6
+            FROM best WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT pa.vec_id
+            FROM assign pa
+            JOIN assign pb
+              ON pb.cluster_id = pa.cluster_id
+             AND (pb.cent_cos_e6 < pa.cent_cos_e6
+                  OR (pb.cent_cos_e6 = pa.cent_cos_e6
+                      AND pb.vec_id < pa.vec_id))
+            JOIN embeddings ea ON ea.vec_id = pa.vec_id
+            JOIN embeddings eb ON eb.vec_id = pb.vec_id
+            WHERE CAST(round(list_cosine_similarity(
+                      CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])
+                  ) * 1000000) AS BIGINT) >= {tau_e6}
+        )
+        SELECT a.vec_id, a.cluster_id, a.cent_cos_e6,
+               CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS is_kept
+        FROM assign a LEFT JOIN dropped d USING (vec_id)
+        ORDER BY a.vec_id
     """
 
 
@@ -1790,6 +1854,9 @@ def oracle_sql() -> dict[str, str]:
         # keeps both replicas in lockstep); DuckDB independently replays
         # the final assignment + stats pass against those centroids
         "embedding_kmeans": _embedding_kmeans_sql(),
+        # SemDeDup: kmeans assignment vs the replayed-centroid literals,
+        # then the pairwise-dominance drop rule as a SQL self-join
+        "semdedup_embeddings": _semdedup_sql(),
         # media_features / media_frame_stats: binary feature extraction —
         # not SQL-expressible, rows-only driver check; pinned by pytest
         # value oracles (tests/test_multimodal.py).

@@ -628,27 +628,23 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
-def embedding_kmeans(
-    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
-) -> ray.data.Dataset:
-    """Distributed spherical k-means over the FULL embedding table (the
-    iterative-algorithm execution shape, unlike the IVF coarse quantizer
-    which trains on a driver-side sample): per iteration, centroids are
-    broadcast once (``ray.put``), every batch emits k partial rows
-    (member count + vector sum), and the driver reduces O(k * n_blocks)
-    tiny partials into new centroids.  The full matrix never leaves the
-    workers; driver state is O(k * dim) + the partial rows of one pass.
+def _kmeans_centroids_distributed(
+    ds: ray.data.Dataset, k: int, iters: int
+) -> np.ndarray:
+    """Distributed spherical k-means centroid iteration over a MATERIALIZED
+    (vec_id, embedding) dataset: per iteration, centroids are broadcast
+    once (``ray.put``), every batch emits k partial rows (member count +
+    vector sum), and the driver reduces O(k * n_blocks) tiny partials into
+    new centroids.  The full matrix never leaves the workers; driver state
+    is O(k * dim) + the partial rows of one pass.
 
     Determinism: init = the k lowest vec_ids' vectors; partials are
     reduced in sorted (centroid, min vec_id in batch) order so float
     summation order is reproducible run to run at any parallelism.
     Centroids are e6-quantized at every iteration boundary, which keeps
     the pure-numpy replay (``kmeans_centroids_replay``) in exact lockstep
-    regardless of batch boundaries — that replay feeds the DuckDB oracle,
-    which independently re-derives the final assignment + stats pass."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).materialize()  # consumed iters+1 times; slim 2-column table
+    regardless of batch boundaries — that replay feeds the DuckDB oracles
+    of every consumer (``embedding_kmeans``, ``semdedup_embeddings``)."""
 
     def _norm(m: np.ndarray) -> np.ndarray:
         nr = np.linalg.norm(m, axis=1, keepdims=True)
@@ -713,6 +709,27 @@ def embedding_kmeans(
         # e6 grid between iterations: re-syncs the numpy replay with the
         # distributed run no matter how blocks were batched
         cents = _quant6_mat(new)
+    return cents
+
+
+def embedding_kmeans(
+    sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> ray.data.Dataset:
+    """Per-cluster stats of a distributed spherical k-means over the FULL
+    embedding table (the iterative-algorithm execution shape, unlike the
+    IVF coarse quantizer which trains on a driver-side sample) — see
+    ``_kmeans_centroids_distributed`` for the iteration + determinism
+    contract.  The DuckDB oracle embeds the replayed centroids as literals
+    and independently re-derives the final assignment + stats pass."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+1 times; slim 2-column table
+    cents = _kmeans_centroids_distributed(ds, k, iters)
+
+    def _norm(m: np.ndarray) -> np.ndarray:
+        nr = np.linalg.norm(m, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        return m / nr
 
     # final stats pass: per-cluster size + mean cosine to centroid
     cref = ray.put(cents)
@@ -866,3 +883,110 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
         return quantize(out, ["centroid", "variance"], scale=1_000_000, suffix="_e6")
 
     return agg.map_batches(finish, batch_format="pyarrow").sort(["label", "dim"])
+
+
+SEMDEDUP_TAU = 0.35
+# within-cluster dominance matmuls run in row chunks of this size, so a
+# pathological mega-cluster costs O(chunk * g * dim) memory, never O(g^2)
+_SEMDEDUP_CHUNK = 2048
+
+
+def semdedup_embeddings(
+    sf_dir: str,
+    threshold: float = SEMDEDUP_TAU,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> ray.data.Dataset:
+    """Semantic dedup over the embedding table (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): spherical k-means clusters the corpus, then
+    WITHIN each cluster any pair with cosine >= threshold is a semantic
+    duplicate and only one member survives.  Keep rule (the paper's
+    low-centroid-similarity preference, made deterministic): a row is
+    dropped iff some same-cluster row with strictly lower
+    (cent_cos_e6, vec_id) is >= threshold-similar to it — a pairwise
+    dominance relation, not an order-dependent greedy sweep, so the result
+    is independent of Ray block order AND directly expressible as a SQL
+    EXISTS (the DuckDB oracle replays it verbatim).
+
+    Scale shape: centroids iterate distributed
+    (``_kmeans_centroids_distributed`` — driver holds O(k * dim)); one
+    broadcast assignment pass tags each row; ONE hash shuffle on
+    cluster_id co-locates clusters; per-cluster dominance runs as chunked
+    matmuls (O(chunk * g * dim) worker memory).  Per-cluster work is
+    O(g^2 * dim) — the method's published cost — so k must grow with the
+    corpus (k ~ n / target_cluster_size) to bound g; the driver-scale
+    default keeps the kmeans-oracle parity constants.
+
+    Returns (vec_id, cluster_id, cent_cos_e6, is_kept) sorted by vec_id,
+    with is_kept as int64 0/1 (dtype-stable across engines)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()  # consumed iters+2 times; slim 2-column table
+    cents = _kmeans_centroids_distributed(ds, k, iters)
+    cref = ray.put(cents)
+    tau_e6 = int(round(threshold * 1e6))
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _list_matrix(t["embedding"])
+        nr = np.linalg.norm(m, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        m = m / nr
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(m)), a]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+                "cent_cos_e6": pa.array(_q6(best), pa.int64()),
+                "embedding": t["embedding"],
+            }
+        )
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = _ids(g["vec_id"])
+        cent = g["cent_cos_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "cent_cos_e6": pa.array([], pa.int64()),
+                    "is_kept": pa.array([], pa.int64()),
+                }
+            )
+        m = _list_matrix(g["embedding"])
+        nr = np.linalg.norm(m, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        m = m / nr
+        # priority order: farthest-from-centroid first (SemDeDup keeps the
+        # most atypical member of a duplicate pair), vec_id tie-break
+        order = np.lexsort((ids, cent))
+        ms = m[order]
+        n = len(ids)
+        dropped_sorted = np.zeros(n, dtype=bool)
+        for a in range(0, n, _SEMDEDUP_CHUNK):
+            b = min(a + _SEMDEDUP_CHUNK, n)
+            # rows [a:b) can only be dominated by strictly earlier rows
+            cos = _q6(ms[a:b] @ ms[:b].T)
+            ge = cos >= tau_e6
+            allowed = np.arange(b)[None, :] < np.arange(a, b)[:, None]
+            dropped_sorted[a:b] = (ge & allowed).any(axis=1)
+        dropped = np.zeros(n, dtype=bool)
+        dropped[order] = dropped_sorted
+        return pa.table(
+            {
+                "vec_id": g["vec_id"],
+                "cluster_id": g["cluster_id"],
+                "cent_cos_e6": g["cent_cos_e6"],
+                "is_kept": pa.array((~dropped).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(prune, batch_format="pyarrow")
+        .sort("vec_id")
+    )

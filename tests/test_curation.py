@@ -265,6 +265,107 @@ def test_embedding_kmeans_matches_numpy_reference(ray_session, tmp_path):
     assert out["n_members"].sum() == n
 
 
+def _write_emb_table(d, vecs):
+    d.mkdir(parents=True, exist_ok=True)
+    n = len(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [np.asarray(v, np.float32).tolist() for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+
+
+def _semdedup_numpy(sf_dir, threshold, k, iters):
+    """Serial reference of semdedup_embeddings: replayed centroids ->
+    assignment -> pairwise-dominance drop rule (full n^2, no chunking)."""
+    from lasvdedup_ray.pipelines.ann import kmeans_centroids_replay
+
+    cents = kmeans_centroids_replay(sf_dir, k=k, iters=iters)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    nr = np.linalg.norm(m, axis=1, keepdims=True)
+    nr[nr == 0] = 1.0
+    m = m / nr
+    sims = m @ cents.T
+    assign = np.argmax(sims, axis=1)
+    best = sims[np.arange(len(m)), assign]
+    cent_e6 = np.where(best * 1e6 >= 0, np.floor(best * 1e6 + 0.5),
+                       np.ceil(best * 1e6 - 0.5)).astype(np.int64)
+    tau_e6 = int(round(threshold * 1e6))
+    cos = m @ m.T
+    cos_e6 = np.where(cos * 1e6 >= 0, np.floor(cos * 1e6 + 0.5),
+                      np.ceil(cos * 1e6 - 0.5)).astype(np.int64)
+    n = len(ids)
+    dropped = np.zeros(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if i == j or assign[j] != assign[i]:
+                continue
+            if cos_e6[i, j] >= tau_e6 and (
+                (cent_e6[j], ids[j]) < (cent_e6[i], ids[i])
+            ):
+                dropped[i] = True
+                break
+    return ids, assign.astype(np.int64), cent_e6, (~dropped).astype(np.int64)
+
+
+def test_semdedup_matches_numpy_reference(ray_session, tmp_path):
+    from lasvdedup_ray.pipelines.ann import semdedup_embeddings
+
+    rng = np.random.default_rng(7)
+    n, dim, k, iters = 120, 12, 3, 2
+    base = rng.normal(size=(3, dim))
+    vecs = [base[i % 3] + 0.15 * rng.normal(size=dim) for i in range(n)]
+    d = tmp_path / "semb"
+    _write_emb_table(d, vecs)
+    out = (
+        semdedup_embeddings(str(d), threshold=0.9, k=k, iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    ids, assign, cent_e6, kept = _semdedup_numpy(str(d), 0.9, k, iters)
+    order = np.argsort(ids)
+    assert (out["vec_id"].to_numpy() == ids[order]).all()
+    assert (out["cluster_id"].to_numpy() == assign[order]).all()
+    assert (out["cent_cos_e6"].to_numpy() == cent_e6[order]).all()
+    assert (out["is_kept"].to_numpy() == kept[order]).all()
+    # tight blobs at tau=0.9: dedup must actually drop something
+    assert out["is_kept"].sum() < n
+
+
+def test_semdedup_planted_duplicates_keep_one(ray_session, tmp_path):
+    """Two identical vectors always land in one cluster with identical
+    cent_cos; exactly one survives (the lower vec_id)."""
+    from lasvdedup_ray.pipelines.ann import semdedup_embeddings
+
+    rng = np.random.default_rng(11)
+    n, dim = 40, 8
+    vecs = [rng.normal(size=dim) for i in range(n)]
+    vecs[17] = vecs[3].copy()  # exact duplicate pair (3, 17)
+    d = tmp_path / "semb2"
+    _write_emb_table(d, vecs)
+    out = (
+        semdedup_embeddings(str(d), threshold=0.999, k=2, iters=2)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[3, "cluster_id"] == out.loc[17, "cluster_id"]
+    assert int(out.loc[3, "is_kept"]) == 1
+    assert int(out.loc[17, "is_kept"]) == 0
+    # every row appears exactly once
+    assert len(out) == n
+
+
 def test_customers_without_orders_anti_join(ray_session, tmp_path):
     from lasvdedup_ray.pipelines.relational import customers_without_orders
 
