@@ -15,7 +15,7 @@ in low-order bits), and every ordering has a vec_id tie-break.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -889,12 +889,16 @@ SEMDEDUP_TAU = 0.35
 # within-cluster dominance matmuls run in row chunks of this size, so a
 # pathological mega-cluster costs O(chunk * g * dim) memory, never O(g^2)
 _SEMDEDUP_CHUNK = 2048
+# auto-k targets ~this many rows per kmeans cluster, so per-cluster
+# dominance work stays O(target^2 * dim) regardless of corpus size (the
+# SemDeDup paper scales k with n for exactly this reason)
+SEMDEDUP_TARGET_CLUSTER = 4096
 
 
 def semdedup_embeddings(
     sf_dir: str,
     threshold: float = SEMDEDUP_TAU,
-    k: int = KMEANS_K,
+    k: Optional[int] = None,
     iters: int = KMEANS_ITERS,
 ) -> ray.data.Dataset:
     """Semantic dedup over the embedding table (SemDeDup, Abbas et al.
@@ -913,15 +917,22 @@ def semdedup_embeddings(
     broadcast assignment pass tags each row; ONE hash shuffle on
     cluster_id co-locates clusters; per-cluster dominance runs as chunked
     matmuls (O(chunk * g * dim) worker memory).  Per-cluster work is
-    O(g^2 * dim) — the method's published cost — so k must grow with the
-    corpus (k ~ n / target_cluster_size) to bound g; the driver-scale
-    default keeps the kmeans-oracle parity constants.
+    O(g^2 * dim) — the method's published cost — so k auto-scales with the
+    corpus (k = max(KMEANS_K, n / SEMDEDUP_TARGET_CLUSTER), the paper's
+    k ~ n scaling) unless pinned explicitly; at the driver's scales the
+    auto value collapses to KMEANS_K, keeping kmeans-oracle parity.  At
+    very large k the centroid iteration's O(k * n_blocks) driver partial
+    reduce becomes the next bottleneck — swap it for a distributed
+    (cid, dim) groupby Sum when k * n_blocks outgrows driver memory.
 
     Returns (vec_id, cluster_id, cent_cos_e6, is_kept) sorted by vec_id,
     with is_kept as int64 0/1 (dtype-stable across engines)."""
     ds = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # consumed iters+2 times; slim 2-column table
+    if k is None:
+        n_rows = ds.count()  # metadata-only on the materialized table
+        k = max(KMEANS_K, -(-n_rows // SEMDEDUP_TARGET_CLUSTER))
     cents = _kmeans_centroids_distributed(ds, k, iters)
     cref = ray.put(cents)
     tau_e6 = int(round(threshold * 1e6))

@@ -110,7 +110,11 @@ def attach_pair_contents(
     same scale shape as the borderline exact-verify.  The content payload
     column(s) come back with ``_a`` / ``_b`` suffixes."""
     pairs = pairs.materialize()
-    n = pairs.count()
+    # single limit-probe pass (the verify_pairs pattern): when the pair set
+    # fits the driver cap — the common case — this collect IS the only scan;
+    # the distributed path below re-reads the materialized blocks
+    probe = pairs.limit(driver_cap + 1).to_pandas()
+    n = len(probe)
     if n == 0:
         return None
     value_cols = [c for c in content.schema().names if c != id_col]
@@ -122,7 +126,7 @@ def attach_pair_contents(
         pass
 
     if n <= driver_cap:
-        pdf = pairs.to_pandas()
+        pdf = probe
         needed = set(pdf["id_a"]) | set(pdf["id_b"])
         id_ref = ray.put(pa.array(sorted(needed)))
 
@@ -154,7 +158,10 @@ def attach_pair_contents(
         )
         return ray.data.from_arrow(out)
 
-    # bloom over endpoint-id hashes (bounded driver memory, no misses)
+    # bloom over endpoint-id hashes (bounded driver memory, no misses);
+    # the probe stopped at cap+1 rows — bloom sizing needs the true count
+    # (metadata-only on the materialized pairs)
+    n = pairs.count()
     bits = 1 << min(
         int(2 * n * _BLOOM_BITS_PER_KEY - 1).bit_length(),
         _BLOOM_MAX_BITS.bit_length() - 1,
