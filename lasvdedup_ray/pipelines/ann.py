@@ -349,10 +349,13 @@ def embedding_neardup_pairs(
     Below ``broadcast_cap_bytes`` (estimated n_rows * dim * 8): one
     full-matrix broadcast + block matmul per batch — the fast small-table
     path.  Above it: an exact chunked block-nested-loop — the broadcast
-    side is split into row chunks each under the cap, every chunk is
-    ``ray.put`` separately (the driver streams chunks, never holding the
-    full matrix), and one dataset pass per chunk emits the pairs whose
-    canonical-greater endpoint lives in that chunk, so each pair appears
+    side is split into row chunks each under the cap, and passes run
+    SEQUENTIALLY: each chunk is ``ray.put``, its pass materializes to slim
+    (id_a, id_b, cosine_e6) pair blocks rebuilt free of the chunk closure,
+    and the chunk ref is dropped before the next is loaded — so the object
+    store holds ONE chunk at a time plus pair rows, never the aggregate
+    O(n * dim) matrix (ADVICE r4).  Each pass emits the pairs whose
+    canonical-greater endpoint lives in its chunk, so each pair appears
     exactly once and results are IDENTICAL across the gate (pinned by
     tests/test_path_equivalence.py).  Exact all-pairs is inherently
     O(n^2) compute — ``embedding_neardup_lsh`` is the sub-quadratic
@@ -395,7 +398,12 @@ def embedding_neardup_pairs(
             ["id_a", "id_b"]
         )
 
-    # chunked exact path: stream broadcast-side chunks off the parquet file
+    # chunked exact path: stream broadcast-side chunks off the parquet
+    # file, ONE pass at a time — materialize each pass's slim pair blocks,
+    # strip the plan (and with it the chunk-ref closure), then drop the
+    # chunk ref so the store never holds more than one chunk concurrently
+    from ..state.unionfind import drop_empty_blocks
+
     chunk_rows = max(1, broadcast_cap_bytes // (dim * 8))
     passes = []
     carry: list[pa.RecordBatch] = []
@@ -407,11 +415,14 @@ def embedding_neardup_pairs(
         mat = _list_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        passes.append(
-            ds.map_batches(
-                make_block(ray.put((ids, mat / norms))), batch_format="pyarrow"
-            )
-        )
+        ref = ray.put((ids, mat / norms))
+        part = ds.map_batches(make_block(ref), batch_format="pyarrow").materialize()
+        # rebuild from the pair block refs only: the materialized plan's
+        # closure pins `ref`; the rebuilt dataset does not
+        part = drop_empty_blocks(part)
+        if part is not None:
+            passes.append(part)
+        del ref
 
     for rb in pf.iter_batches(
         batch_size=min(chunk_rows, 65536), columns=["vec_id", "embedding"]
@@ -424,6 +435,16 @@ def embedding_neardup_pairs(
     if carry_n:
         flush(carry)
 
+    if not passes:  # no pair anywhere above threshold
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        )
     out = passes[0]
     if len(passes) > 1:
         out = out.union(*passes[1:])

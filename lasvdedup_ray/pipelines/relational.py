@@ -420,9 +420,16 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
     def to_brand(t: pa.Table) -> pa.Table:
         ks, brands = _cached_get(ref)
         keys = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        if len(ks) == 0:
+            # empty dimension table: inner join drops every fact row.
+            # Guard BEFORE indexing ks — numpy & does not short-circuit,
+            # so ks[pos_c] on an empty ks would raise (ADVICE r4).
+            return pa.table(
+                {"p_brand": pa.array([], pa.string()), "rev": pa.array([], pa.float64())}
+            )
         pos = np.searchsorted(ks, keys)
         pos_c = np.minimum(pos, len(ks) - 1)
-        valid = (len(ks) > 0) & (ks[pos_c] == keys)
+        valid = ks[pos_c] == keys
         rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         # inner-join semantics: drop fact rows with no matching part key
         sel = pa.array(valid)

@@ -65,7 +65,10 @@ def drop_empty_blocks(ds: ray.data.Dataset) -> Optional[ray.data.Dataset]:
     refs = []
     for rb in ds.iter_internal_ref_bundles():
         for bref, meta in zip(rb.block_refs, rb.metadata):
-            if meta.num_rows:
+            # keep blocks with UNKNOWN row counts (num_rows is None) — only
+            # a known-zero count may be dropped, else silent data loss if
+            # Ray ever materializes metadata without counts (ADVICE r4)
+            if meta.num_rows is None or meta.num_rows:
                 refs.append(bref)
     if not refs:
         return None
