@@ -19,6 +19,7 @@ import sys
 from typing import Any, Dict, List, Optional
 
 from .config_io import build_config
+from .sources.readers import read_parquet_clean
 
 
 def _build_parser() -> argparse.ArgumentParser:
@@ -153,7 +154,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     setup_logging(args.log_level, args.log_file)
 
-    ds = ray.data.read_parquet(args.input)
+    ds = read_parquet_clean(args.input)
 
     if args.dry_run:
         print(json.dumps({"dry_run": True, "plan": plan_stages(ds, cfg)}))
@@ -164,7 +165,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         rank_table = (
             ray.data.read_csv(args.rank_table)
             if args.rank_table.endswith(".csv")
-            else ray.data.read_parquet(args.rank_table)
+            else read_parquet_clean(args.rank_table)
         )
     results = dedup_pipeline(
         ds,

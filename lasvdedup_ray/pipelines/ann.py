@@ -25,6 +25,7 @@ import ray.data
 from ray.data.aggregate import Min, Sum
 
 from .relational import quantize
+from ..sources.readers import read_parquet_clean
 
 
 ANN_BUCKET_CAP = 2048  # LSH buckets above this chain neighbors (ADVICE r2)
@@ -127,7 +128,7 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> ray.data.Data
         )
 
     cand = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
         .map_batches(bottom_ids, batch_format="pyarrow")
         .take_all()
     )
@@ -146,7 +147,7 @@ def embedding_topk(sf_dir: str, n_queries: int = 5, k: int = 5) -> ray.data.Data
     query_mat = query_mat / norms
     ref = ray.put((query_ids, query_mat))
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -242,7 +243,7 @@ def embedding_topk_ivf(
 
     # bounded training sample -> centroids (broadcast once)
     sample_t = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .limit(sample_rows)
         .to_pandas()
     )
@@ -257,7 +258,7 @@ def embedding_topk_ivf(
         return pa.table({"vec_id": pa.array(np.sort(v)[:n_queries], pa.int64())})
 
     cand = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
         .map_batches(bottom_ids, batch_format="pyarrow")
         .take_all()
     )
@@ -279,7 +280,7 @@ def embedding_topk_ivf(
     q_cells = np.argsort(-(qmat @ cents.T), axis=1)[:, :probe]  # (nq, probe)
     ref = ray.put((query_ids, qmat, cents, q_cells))
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -367,7 +368,7 @@ def embedding_neardup_pairs(
     n_rows = pf.metadata.num_rows
     first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     dim = len(first["embedding"][0])
-    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
 
     def make_block(ref):
         def block(t: pa.Table) -> pa.Table:
@@ -466,7 +467,7 @@ def embedding_neardup_lsh(
     join) and verified exactly."""
     from ..stages.verify import attach_pair_contents
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     # probe the dimension from one row; size planes once
@@ -774,7 +775,7 @@ def embedding_kmeans(
     ``_kmeans_centroids_distributed`` for the iteration + determinism
     contract.  The DuckDB oracle embeds the replayed centroids as literals
     and independently re-derives the final assignment + stats pass."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # consumed iters+1 times; slim 2-column table
     cents = _kmeans_centroids_distributed(ds, k, iters)
@@ -875,7 +876,7 @@ def label_centroids(sf_dir: str) -> ray.data.Dataset:
     exchange carries labels x dims slim rows; mean and population variance
     close from the merged moments (var = E[x^2] - mean^2).  Mirrored in
     SQL via unnest + generate_subscripts over the same float32 values."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
 
@@ -980,7 +981,7 @@ def semdedup_embeddings(
 
     Returns (vec_id, cluster_id, cent_cos_e6, is_kept) sorted by vec_id,
     with is_kept as int64 0/1 (dtype-stable across engines)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).materialize()  # consumed iters+2 times; slim 2-column table
     if k is None:

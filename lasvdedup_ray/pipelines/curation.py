@@ -27,6 +27,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.hashing import sha256_bytes, sha256_column, splitmix64
 from ..functions.text import TOKEN_REGEX
 from .relational import quantize
+from ..sources.readers import read_parquet_clean
 
 # ---------------------------------------------------------------------------
 # PII redaction.  RE2 patterns shared verbatim with the SQL oracle
@@ -49,7 +50,7 @@ def pii_redact_docs(sf_dir: str) -> ray.data.Dataset:
     document.  One RE2 pass per pattern for the counts, one per pattern
     for the substitution — all vectorized; the redacted text never leaves
     the batch (only its sha256 does), so content does not ride a shuffle."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -90,7 +91,7 @@ def repetition_stats_docs(sf_dir: str) -> ray.data.Dataset:
     token.  Fully vectorized: split -> flatten with parent indices ->
     64-bit hashes -> lexsort first-occurrence scan -> bincount per doc.
     No Python loop over rows, lines or tokens."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -166,7 +167,7 @@ def hash_sample_stratified(sf_dir: str) -> ray.data.Dataset:
     the dominant languages, keep the tail).  Embarrassingly parallel: the
     keep mask is a pure function of (doc_id, lang) — no shuffle, no RNG
     state, resumable by construction."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
@@ -202,7 +203,7 @@ def domain_mix_weights(sf_dir: str):
     final per-source table (a handful of rows).  The alpha power is
     computed as ``floor(sqrt(tokens) * 1000)`` so both engines divide the
     same exact integers (no float ulp drift across engines)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
 
@@ -263,7 +264,7 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
     driver prefix over O(n_docs / PACK_CHUNK) chunk rows -> broadcast
     offsets -> per-chunk vectorized cumsum.  Content is projected away
     after tokenization, so only (doc_id, tok) ride the shuffle."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -388,7 +389,7 @@ class QualityClassifier:
 def quality_classifier_docs(sf_dir: str) -> ray.data.Dataset:
     """Batched logistic quality scoring via an actor pool (model load once
     per actor, vectorized inference per batch)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(
@@ -416,7 +417,7 @@ def shuffle_export_docs(
     """(doc_id, shard, pos): deterministic seeded global shuffle of the
     corpus into ``n_shards`` shards — shard = splitmix64(doc_id + seed) %
     n_shards, pos = 1-based rank within the shard by (hkey, doc_id)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def keyed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -463,7 +464,7 @@ def shuffle_export_write(sf_dir: str, out_dir: str, n_shards: int = SHUFFLE_SHAR
     directory per shard — the resumable unit; a failed run skips finished
     shard dirs).  Joins the shuffle order back to the full rows by doc_id."""
     order = shuffle_export_docs(sf_dir, n_shards)
-    full = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    full = read_parquet_clean(f"{sf_dir}/documents.parquet")
     from .relational import _join_partitions
 
     joined = order.join(

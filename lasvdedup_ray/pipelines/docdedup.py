@@ -16,10 +16,11 @@ import ray.data
 from ..config import PipelineConfig
 from ..sources.corpus import SOURCE_SCHEMA
 from ..pipelines.dedup import dedup_pipeline
+from ..sources.readers import read_parquet_clean
 
 
 def documents_as_source(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
 
@@ -88,7 +89,7 @@ def minhash_dedup_best_quality(
 
     # rank side table: id -> quality (alpha_ratio * 1e6 as int64; higher is
     # better — selection columns sort descending)
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 

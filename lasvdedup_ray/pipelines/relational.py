@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ..sources.readers import read_parquet_clean
 
 # ---- size-gated join planning ---------------------------------------------
 # A dimension side is BROADCAST (ray.put once, worker-cached lookup, no
@@ -81,7 +82,7 @@ def quantize(t: pa.Table, cols, scale: int = 10_000, suffix: str = "_e4") -> pa.
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape: filtered scan -> grouped aggregate.
     Columns pruned at the read; revenue derived vectorized per batch."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -123,7 +124,7 @@ def q3_top_orders(
     cached) while its parquet fits ``broadcast_budget``; beyond that it is
     fact-sized and the plan switches to a distributed hash join of the
     (already per-order pre-aggregated) revenue against ``orders``."""
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -175,7 +176,7 @@ def q3_top_orders(
 
         out = rev_by_order.map_batches(attach_order, batch_format="pyarrow")
     else:
-        orders_ds = ray.data.read_parquet(opath, columns=ocols)
+        orders_ds = read_parquet_clean(opath, columns=ocols)
         j = rev_by_order.join(
             orders_ds,
             join_type="inner",
@@ -217,7 +218,7 @@ def q5_nation_revenue(
     opath = f"{sf_dir}/orders.parquet"
     cpath = f"{sf_dir}/customer.parquet"
     nation_t = pq.read_table(f"{sf_dir}/nation.parquet")
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -279,8 +280,8 @@ def q5_nation_revenue(
             .groupby("l_orderkey")
             .aggregate(Sum("prev", alias_name="prev"))
         )
-        orders_ds = ray.data.read_parquet(opath, columns=["o_orderkey", "o_custkey"])
-        cust_ds = ray.data.read_parquet(cpath, columns=["c_custkey", "c_nationkey"])
+        orders_ds = read_parquet_clean(opath, columns=["o_orderkey", "o_custkey"])
+        cust_ds = read_parquet_clean(cpath, columns=["c_custkey", "c_nationkey"])
         rev_by_cust = (
             rev_by_order.join(
                 orders_ds,
@@ -334,7 +335,7 @@ def q5_nation_revenue(
 def events_by_type(sf_dir: str) -> ray.data.Dataset:
     """Partial pre-aggregation inside map_batches, then a tiny groupby —
     the combiner pattern for scale (SURVEY §4)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.group_by("event_type").aggregate([("value", "sum"), ("value", "count")])
@@ -366,7 +367,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
     """Tumbling 1h window per event_type: epoch-floor key + groupby
     (streaming-shaped workload as a batch window aggregate).  Window start
     is emitted as integer epoch-seconds for engine-exact comparison."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
     def win(t: pa.Table) -> pa.Table:
         epoch = pc.cast(t["ts"], pa.int64())  # microseconds
@@ -390,7 +391,7 @@ def events_hourly(sf_dir: str) -> ray.data.Dataset:
 
 
 def top_users_by_value(sf_dir: str) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     agg = ds.groupby("user_id").aggregate(
         Sum("value", alias_name="total_value"), Count(alias_name="n_events")
     )
@@ -404,7 +405,7 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
     probed per batch with a vectorized ``np.searchsorted`` — no shuffle of
     lineitem and no per-row Python loop (VERDICT r3 #5)."""
     part = (
-        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+        read_parquet_clean(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
         .sort("p_partkey")
         .to_pandas()
     )
@@ -412,7 +413,7 @@ def brand_revenue(sf_dir: str) -> ray.data.Dataset:
     brand_arr = pa.array(part["p_brand"], pa.string())
     ref = ray.put((keys_sorted, brand_arr))
 
-    li = ray.data.read_parquet(
+    li = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount"],
     )
@@ -465,7 +466,7 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
     ``groupby.map_groups`` is one Python call + one pandas conversion per
     user — the many-tiny-groups landmine, VERDICT r1 #6.)  Ordering is
     established inside the partition sort; no global order is relied on."""
-    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def add_pkey(t: pa.Table) -> pa.Table:
         pk = pc.cast(
@@ -528,7 +529,7 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
 
 def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
     """Min/Max/Mean aggregate over a dimension table grouped by nation."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
     )
     agg = ds.groupby("s_nationkey").aggregate(
@@ -562,7 +563,7 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
     shuffle on ``o_custkey % P`` and the same vectorized pass per
     partition emits the final ranks.  Per-group ``map_groups`` would be a
     Python call per customer — the many-tiny-groups landmine."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -622,8 +623,8 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
     by ``key % P``, and each partition emits left keys absent from the
     right via a vectorized ``np.isin``.  No bloom false-positive risk, no
     driver-side key set — exact at any scale."""
-    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = read_parquet_clean(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def tag(col: str, kind: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -686,7 +687,7 @@ def order_price_quantiles(sf_dir: str, qs=QUANTILE_QS):
     path = f"{sf_dir}/orders.parquet"
 
     def scan():
-        return ray.data.read_parquet(path, columns=["o_totalprice"])
+        return read_parquet_clean(path, columns=["o_totalprice"])
 
     stats = scan().aggregate(
         Count(alias_name="n"),
@@ -786,7 +787,7 @@ def distinct_users_daily(sf_dir: str) -> ray.data.Dataset:
     np.unique pass per partition emits (event_type, day, partial_count)
     rows into a tiny final groupby.  No global distinct shuffle of raw
     events, no driver-side set."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "user_id"]
     )
 
@@ -861,7 +862,7 @@ def event_debounce(sf_dir: str) -> ray.data.Dataset:
     event of that key.  Same execution shape as ``user_sessions`` —
     per-key ordering is established inside the partition, no global
     sort."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
 
@@ -937,7 +938,7 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
     emits exactly ``len(FUNNEL_STAGES)`` partial-count rows, so the final
     exchange carries P x stages slim rows.  Mirrored in SQL as a chain of
     min-ts joins (``oracle_sql``)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
 
@@ -1041,7 +1042,7 @@ def hll_distinct_users(sf_dir: str) -> ray.data.Dataset:
     to incremental / multi-day corpora for free)."""
     from ..functions.hashing import splitmix64
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
@@ -1120,7 +1121,7 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
     distinct (user, day) pairs fully vectorized and emits only
     (cohort_day_s, day_offset, partial count) rows — bounded by distinct
     cells, not events — then a small groupby-sum."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
 
@@ -1191,7 +1192,7 @@ def props_value_stats(sf_dir: str) -> ray.data.Dataset:
     per-type moment partials, and the only exchange carries types x 4
     numbers.  Rows whose props lack an integer ``k`` are skipped (mirrored
     by the SQL oracle's regexp filter)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "props"]
     )
 

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..sources.readers import read_parquet_clean
 
 WINDOW_PARTITIONS = 64
 ROLL_PRECEDING = 2  # window = current row + 2 preceding rows per user
@@ -45,7 +46,7 @@ def user_rolling_value(sf_dir: str) -> ray.data.Dataset:
     double division, half-away rounding — bit-identical to the oracle's
     ``round(SUM(v_e4) OVER w / COUNT(*) OVER w)``.
     """
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -139,7 +140,7 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
     """
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
         filter=pads.field("event_type").isin(["purchase", "view"]),
@@ -220,7 +221,7 @@ def purchase_click_window_join(sf_dir: str) -> ray.data.Dataset:
     direct summation)."""
     import pyarrow.dataset as pads
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type", "value"],
         filter=pads.field("event_type").isin(["purchase", "click"]),

@@ -19,6 +19,7 @@ import shutil
 from typing import Optional
 
 import ray.data
+from ..sources.readers import read_parquet_clean
 
 
 class StageCheckpointer:
@@ -98,7 +99,7 @@ class StageCheckpointer:
             return ds.materialize()
         final = os.path.join(self.dir, name)
         if self.is_done(name):
-            return ray.data.read_parquet(final)
+            return read_parquet_clean(final)
         tmp = final + ".tmp"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
@@ -107,4 +108,4 @@ class StageCheckpointer:
             shutil.rmtree(final)
         os.replace(tmp, final)
         self._mark_done(name)
-        return ray.data.read_parquet(final)
+        return read_parquet_clean(final)
