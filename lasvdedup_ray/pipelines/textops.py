@@ -28,12 +28,13 @@ from ..functions.text import (
 
 
 from .relational import quantize
+from ..sources.readers import read_parquet_clean
 
 
 def doc_stats(sf_dir: str) -> ray.data.Dataset:
     """Per-document quality metrics, all pyarrow kernels (SQL oracle uses
     the same regex classes)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def stats(t: pa.Table) -> pa.Table:
         m = quality_metrics(t["text"])
@@ -58,7 +59,7 @@ def token_counts_docs(sf_dir: str) -> ray.data.Dataset:
     pass per counter; SQL oracle counts the same RE2 matches in DuckDB."""
     from ..functions.text import bpe_token_counts, token_counts
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def count(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -75,7 +76,7 @@ def token_counts_docs(sf_dir: str) -> ray.data.Dataset:
 def exact_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     """Exact dedup on the documents table: hash-partition by content,
     keep min(doc_id) per group, count copies."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def hash_batch(t: pa.Table) -> pa.Table:
         digests = sha256_column(t["text"])
@@ -141,7 +142,7 @@ def vocab_top_tokens(sf_dir: str) -> ray.data.Dataset:
     size), not corpus token count.  A small final groupby sums partials;
     top-K via sort (count desc, token asc — deterministic tie-break) +
     limit.  K is query semantics, mirrored in the SQL oracle."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
     def partial_counts(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(pc.utf8_lower(t["text"]), " "))
@@ -183,13 +184,15 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
     text never rides an exchange.  Corpus stats (N, avgdl, per-term df)
     reduce to a handful of numbers on the driver and are closed into the
     score function; scoring, the (query, doc) sum, and per-query top-k all
-    run over the slim tf table.  Ranking uses the QUANTIZED score
-    (micro-units, _q6 semantics) with a doc_id tie-break so both engines
-    select identical winners regardless of last-ulp float drift."""
+    run over the slim tf table.  Each PER-TERM contribution is quantized
+    to integer micro-units before the (query, doc) sum, so the group
+    aggregate is an exact int64 sum — identical on both engines regardless
+    of merge order (quantize-before-sum, the repo convention); ranking
+    breaks ties by doc_id."""
     terms = sorted({w for q in BM25_QUERIES.values() for w in q})
     term_arr = pa.array(terms, pa.string())
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -293,6 +296,12 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
         contrib = idf_np[codes] * tf * (BM25_K1 + 1.0) / denom
+        # quantize each PER-TERM contribution to integer micro-units BEFORE
+        # the (query, doc) sum so the group aggregate is an int64 sum —
+        # exact and merge-order-independent on both engines (the repo-wide
+        # quantize-before-sum convention; contributions are non-negative
+        # with the +1 idf, so floor(x*1e6 + 0.5) is plain round-half-up)
+        contrib_e6 = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
         # expand each tf row to one row per query containing its term
         cnt = qid_counts[codes]
         rep = np.repeat(np.arange(len(codes)), cnt)
@@ -304,33 +313,15 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
             {
                 "query_id": pa.array(out_q, pa.int64()),
                 "doc_id": pa.array(ids[rep], pa.int64()),
-                "contrib": pa.array(contrib[rep], pa.float64()),
+                "contrib_e6": pa.array(contrib_e6[rep], pa.int64()),
             }
         )
 
     scored = (
         tf_ds.map_batches(contributions, batch_format="pyarrow")
         .groupby(["query_id", "doc_id"])
-        .aggregate(Sum("contrib", alias_name="score"))
+        .aggregate(Sum("contrib_e6", alias_name="score_e6"))
     )
-
-    # Accepted-risk note (ADVICE r3): per-term float64 contributions merge
-    # through Ray's Sum aggregate (merge order nondeterministic) and only
-    # then e6-quantize; a half-ulp reorder vs DuckDB's summation could in
-    # principle flip the floor at an exact .5e-6 boundary.  With <=9 query
-    # terms per doc the reorder error is ~1e-13 of the score, so a flip
-    # needs the true sum within 1e-13 of a boundary — measure-zero on this
-    # corpus and monitored by the driver's hash gate every round.
-    def quantize_scores(t: pa.Table) -> pa.Table:
-        s = t["score"].to_numpy(zero_copy_only=False)
-        q = np.where(s >= 0, np.floor(s * 1e6 + 0.5), np.ceil(s * 1e6 - 0.5))
-        return pa.table(
-            {
-                "query_id": t["query_id"],
-                "doc_id": t["doc_id"],
-                "score_e6": pa.array(q.astype(np.int64), pa.int64()),
-            }
-        )
 
     def topk(g: pa.Table) -> pa.Table:
         sc = g["score_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -345,8 +336,7 @@ def bm25_topk(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        scored.map_batches(quantize_scores, batch_format="pyarrow")
-        .groupby("query_id")
+        scored.groupby("query_id")
         .map_groups(topk, batch_format="pyarrow")
         .sort(["query_id", "score_e6", "doc_id"], descending=[False, True, False])
     )
@@ -363,7 +353,7 @@ def normalized_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     rides the shuffle — docs collapse per batch to (sha_hex, min doc_id,
     count) partials first, so the exchange carries one slim row per
     distinct normalized text per batch, then a small groupby finishes."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def norm_hash(t: pa.Table) -> pa.Table:
         s = pc.utf8_lower(t["text"])
@@ -417,7 +407,7 @@ def incremental_dedup_docs(sf_dir: str) -> ray.data.Dataset:
     for the in-batch collapse.  No driver-side index, no bloom false
     positives — exact at any scale, and the index side never needs to fit
     anywhere: it is just more rows in the same exchange."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def tag(t: pa.Table) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -549,7 +539,7 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
     hash join of the slim kept-lists against the documents table)."""
     import pandas as _pd
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -700,7 +690,7 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
 
 def lang_quality_summary(sf_dir: str) -> ray.data.Dataset:
     """Per-lang corpus summary: doc count, total tokens, mean alpha ratio."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
 
     def partial(t: pa.Table) -> pa.Table:
         m = quality_metrics(t["text"])
@@ -746,7 +736,7 @@ def lang_quality_summary(sf_dir: str) -> ray.data.Dataset:
 
 def quality_filter(sf_dir: str, min_chars: int = 100, max_digit_ratio: float = 0.3) -> ray.data.Dataset:
     """Quality-gate filter: docs passing length + digit-ratio thresholds."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def keep(t: pa.Table) -> pa.Table:
         m = quality_metrics(t["text"])
@@ -831,7 +821,7 @@ def ngram_jaccard_pairs(
     import logging
 
     logger = logging.getLogger(__name__)
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_docs = ds.count()  # parquet metadata only — no read
 
     def shingles_with_pkey(t: pa.Table) -> pa.Table:
@@ -1128,7 +1118,7 @@ def langid_docs(sf_dir: str) -> ray.data.Dataset:
     The DuckDB oracle (``__ray_entry__._langid_sql``) is GENERATED from the
     same ``STOPWORDS``/``TOKEN_REGEX`` constants — lexicon, tokenization,
     and argmax tie-break cannot drift between the two engines."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def ident(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -1147,7 +1137,7 @@ def langid_docs(sf_dir: str) -> ray.data.Dataset:
 def doc_fingerprints(sf_dir: str) -> ray.data.Dataset:
     """Winnowing fingerprint counts per doc (rolling-hash document
     fingerprinting; rows-only check)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def fp(t: pa.Table) -> pa.Table:
         counts = [
@@ -1184,7 +1174,7 @@ def simhash_near_pairs(
     ``SIMHASH_CAP_NEIGHBORS`` successors, mirroring the flagship's
     band_cap (VERDICT r2 #3).  The pigeonhole guarantee then holds only
     through the uncapped slices; truncation is logged, never silent."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     cfg = SignatureConfig()
 
     def sign_simhash(t: pa.Table) -> pa.Table:
@@ -1306,7 +1296,7 @@ def common_span_pairs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     pairs = ngram_jaccard_pairs(sf_dir, threshold=threshold).select_columns(
         ["id_a", "id_b"]
     )
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     with_content = attach_pair_contents(pairs, docs, id_col="doc_id")
@@ -1380,12 +1370,12 @@ def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
     from .relational import _cached_get
 
     path = f"{sf_dir}/documents.parquet"
-    n_docs = ray.data.read_parquet(path, columns=["doc_id"]).count()  # metadata
+    n_docs = read_parquet_clean(path, columns=["doc_id"]).count()  # metadata
     cut = n_docs // DECONTAM_BENCH_DIVISOR
 
     import pyarrow.dataset as pads
 
-    bench = ray.data.read_parquet(
+    bench = read_parquet_clean(
         path, columns=["doc_id", "text"], filter=pads.field("doc_id") < cut
     )
 
@@ -1406,7 +1396,7 @@ def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
     )
     ref = ray.put(bench_hashes)
 
-    train = ray.data.read_parquet(
+    train = read_parquet_clean(
         path, columns=["doc_id", "text"], filter=pads.field("doc_id") >= cut
     )
 
@@ -1464,7 +1454,7 @@ def jaccard_cluster_docs(sf_dir: str, threshold: float = 0.5) -> ray.data.Datase
 
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def to_nodes(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -1505,7 +1495,7 @@ def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
     cell table.  This beats a distributed sort (no all-to-all over the
     full table) and beats t-digest/histogram sketches (exact answer) for
     any bounded-domain column."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
     )
 
@@ -1568,7 +1558,7 @@ def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
     per-(source) partial dup counts, and a small groupby-sum closes — the
     text never rides an exchange."""
     P = 64
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
 
@@ -1677,7 +1667,7 @@ def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
     winners."""
     import pandas as _pd
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["source", "text"]
     )
 

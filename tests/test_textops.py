@@ -414,17 +414,19 @@ def test_bm25_topk_matches_bruteforce(tmp_path):
     for qid, qterms in BM25_QUERIES.items():
         scores = []
         for i, t in enumerate(toks):
-            s = 0.0
+            # per-term e6 quantization BEFORE the sum (engine convention)
+            s_e6 = 0
             for w in qterms:
                 tf = t.count(w)
                 if tf == 0 or df[w] == 0:
                     continue
                 idf = math.log(1.0 + (N - df[w] + 0.5) / (df[w] + 0.5))
-                s += idf * tf * (BM25_K1 + 1.0) / (
+                c = idf * tf * (BM25_K1 + 1.0) / (
                     tf + BM25_K1 * (1.0 - BM25_B + BM25_B * len(t) / avgdl)
                 )
-            if s > 0.0:
-                scores.append((int(math.floor(s * 1e6 + 0.5)), i))
+                s_e6 += int(math.floor(c * 1e6 + 0.5))
+            if s_e6 > 0:
+                scores.append((s_e6, i))
         scores.sort(key=lambda p: (-p[0], p[1]))
         expected[qid] = scores[:BM25_TOP_K]
 
