@@ -1,15 +1,15 @@
 """Multimodal query pipelines over the deterministic synthetic media
 corpus (image/audio/video payloads as opaque binary columns).
 
-Image (binary PPM) and audio (PCM WAV) payloads are REAL encoded media
-and the ``decode=True`` path decodes them with no third-party codec
-(``stages/multimodal.py``); only video decode remains stubbed.  These
+Image (binary PPM), audio (PCM WAV) and video (YUV4MPEG2) payloads are
+all REAL encoded media and the ``decode=True`` path decodes every one of
+them with no third-party codec (``stages/multimodal.py``).  These
 queries exercise the Ray-side plumbing end to end: the actor-pool feature
 extractor over wide binary rows, a random-hyperplane SimHash over the
 byte-histogram feature (the media analog of the text near-dup
-fingerprint), decoded-domain aggregates, and the frame-sampling stage's
-output layout.  All are rows-only driver checks (no SQL for binary
-feature extraction) pinned by pytest value oracles."""
+fingerprint), decoded-domain aggregates, and real frame sampling.  All
+are rows-only driver checks (no SQL for binary feature extraction)
+pinned by pytest value oracles."""
 
 from __future__ import annotations
 
@@ -22,7 +22,7 @@ from ray.data.aggregate import Count, Max, Sum
 from ..stages.multimodal import (
     FEATURE_DIM,
     extract_media_features,
-    frame_sample_stub,
+    sample_video_frames,
     synthetic_media_table,
 )
 from .relational import quantize
@@ -78,13 +78,13 @@ def media_features(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_frame_stats(sf_dir: str) -> ray.data.Dataset:
-    """Frame-sampling plumbing: per video item, sampled frame count and
-    total sampled bytes (decode stubbed; layout and batch plumbing real)."""
+    """REAL frame sampling: per video item, sampled decoded-frame count
+    and total decoded YUV bytes (one Y4M frame per sampled second)."""
     videos = _media_ds().map_batches(
         lambda t: t.filter(pc.equal(t["media_type"], "video")),
         batch_format="pyarrow",
     )
-    frames = frame_sample_stub(videos, every_ms=1000)
+    frames = sample_video_frames(videos, every_ms=1000)
 
     def sizes(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -108,16 +108,13 @@ def media_frame_stats(sf_dir: str) -> ray.data.Dataset:
 
 
 def media_decoded_stats(sf_dir: str) -> ray.data.Dataset:
-    """REAL decode through the actor pool (decode=True): per media type,
-    decoded-domain aggregates — images: decoded pixel count and mean
-    entropy over pixels; audio: total decoded samples and the uniform
-    sample rate.  Video is excluded (its decode is the one explicit stub).
-    Rows-only driver check; value-pinned by pytest."""
-    non_video = _media_ds().map_batches(
-        lambda t: t.filter(pc.not_equal(t["media_type"], "video")),
-        batch_format="pyarrow",
-    )
-    feats = extract_media_features(non_video, decode=True, batch_size=32)
+    """REAL decode through the actor pool (decode=True) for ALL THREE
+    modalities: per media type, decoded-domain aggregates — images:
+    decoded pixel count and mean entropy over pixels; audio: total decoded
+    samples and the uniform sample rate (Hz); video: total decoded YUV
+    samples and the frame rate (fps rides the rate column).  Rows-only
+    driver check; value-pinned by pytest."""
+    feats = extract_media_features(_media_ds(), decode=True, batch_size=32)
 
     def partials(t: pa.Table) -> pa.Table:
         return pa.table(

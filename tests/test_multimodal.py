@@ -1,4 +1,4 @@
-"""Multimodal plumbing: schema, actor-pool flow, stubbed decode gating."""
+"""Multimodal plumbing: schema, actor-pool flow, real three-format decode."""
 
 import numpy as np
 import pyarrow as pa
@@ -10,7 +10,7 @@ from lasvdedup_ray.stages.multimodal import (
     MEDIA_SCHEMA,
     MediaFeatureExtractor,
     extract_media_features,
-    frame_sample_stub,
+    sample_video_frames,
     synthetic_media_table,
 )
 
@@ -77,13 +77,45 @@ def test_decode_real_ppm_and_wav():
             assert samples.size == row["n_samples"]
 
 
-def test_decode_video_still_stubbed():
-    """Video decode remains the one explicit NotImplementedError stub."""
+def test_decode_video_real_y4m():
+    """Video decode is REAL for Y4M: decoded dims come from the stream
+    header, n_samples counts decoded YUV bytes, the rate column carries
+    fps, and features are histograms over the actual planar frames."""
+    from lasvdedup_ray.stages.multimodal import SYNTH_Y4M_FPS, parse_y4m
+
     t = synthetic_media_table(24)
     videos = t.filter(pa.compute.equal(t["media_type"], "video"))
     ex = MediaFeatureExtractor(decode=True)
+    out = ex(videos)
+    payloads = dict(zip(t["item_id"].to_pylist(), t["payload"].to_pylist()))
+    for row in out.to_pylist():
+        w, h, num, den, frames = parse_y4m(payloads[row["item_id"]])
+        assert (row["decoded_width"], row["decoded_height"]) == (w, h)
+        assert row["sample_rate"] == SYNTH_Y4M_FPS == num // den
+        assert row["n_samples"] == frames.size
+        hist = np.bincount(frames.reshape(-1) >> 2, minlength=FEATURE_DIM)
+        np.testing.assert_allclose(
+            np.asarray(row["feature"]), hist / hist.sum()
+        )
+
+
+def test_decode_compressed_video_raises():
+    """Non-Y4M video payloads (compressed formats) raise the documented
+    NotImplementedError instead of silently producing byte features."""
+    t = pa.table(
+        {
+            "item_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["video"], pa.string()),
+            "payload": pa.array([b"\x00\x00\x01\xb3 fake mpeg"], pa.large_binary()),
+            "width": pa.array([-1], pa.int32()),
+            "height": pa.array([-1], pa.int32()),
+            "duration_ms": pa.array([1000], pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    ex = MediaFeatureExtractor(decode=True)
     with pytest.raises(NotImplementedError):
-        ex(videos)
+        ex(t)
 
 
 def test_decode_roundtrip_encoders():
@@ -111,21 +143,42 @@ def test_decode_roundtrip_encoders():
     assert (rate, nch) == (16000, 1)
     np.testing.assert_array_equal(back_s, samples)
 
+    from lasvdedup_ray.stages.multimodal import encode_y4m, parse_y4m
 
-def test_frame_sample_plumbing():
+    frames = rng.integers(0, 256, (5, 8 * 6 * 3 // 2), dtype=np.uint8)
+    w3, h3, num, den, back_f = parse_y4m(encode_y4m(8, 6, frames, fps=4))
+    assert (w3, h3, num, den) == (8, 6, 4, 1)
+    np.testing.assert_array_equal(back_f, frames)
+    # spec-default colorspace (C absent) and C444 stride both parse
+    hdr = b"YUV4MPEG2 W4 H2 F25:1\n" + b"".join(
+        b"FRAME\n" + bytes(range(12)) for _ in range(2)
+    )
+    w4, h4, _, _, f4 = parse_y4m(hdr)
+    assert (w4, h4, f4.shape) == (4, 2, (2, 12))
+    hdr444 = b"YUV4MPEG2 W2 H2 F1:1 C444\n" + b"FRAME\n" + bytes(12)
+    assert parse_y4m(hdr444)[4].shape == (1, 12)
+
+
+def test_frame_sample_real_frames():
+    """sample_video_frames emits the ACTUAL decoded Y4M frame nearest each
+    sampled timestamp — byte-identical to the stream's planar frames."""
+    from lasvdedup_ray.stages.multimodal import parse_y4m
+
     t = synthetic_media_table(12)
-    out = frame_sample_stub(ray.data.from_arrow(t), every_ms=1000).to_pandas()
-    # videos/audio with duration produce >= 1 frame; images produce exactly 1
-    assert len(out) >= 12 * 0  # plumbing runs
-    by_item = out.groupby("item_id").size()
-    durations = dict(zip(t["item_id"].to_pylist(), t["duration_ms"].to_pylist()))
-    for item, n in by_item.items():
-        expected = max(1, max(int(durations[item]), 0) // 1000)
-        assert n == expected
-    # frame bytes are slices of the payload (byte-identical segments)
+    videos = t.filter(pa.compute.equal(t["media_type"], "video"))
+    out = sample_video_frames(
+        ray.data.from_arrow(videos), every_ms=1000
+    ).to_pandas()
     payloads = dict(zip(t["item_id"].to_pylist(), t["payload"].to_pylist()))
-    row = out.iloc[0]
-    assert bytes(row["frame_bytes"]) in payloads[row["item_id"]]
+    durations = dict(zip(t["item_id"].to_pylist(), t["duration_ms"].to_pylist()))
+    by_item = out.groupby("item_id").size()
+    assert set(by_item.index) == set(videos["item_id"].to_pylist())
+    for item, n in by_item.items():
+        assert n == max(1, int(durations[item]) // 1000)
+    for row in out.itertuples():
+        w, h, num, den, frames = parse_y4m(payloads[row.item_id])
+        fi = min(int(row.frame_ts_ms) * num // (1000 * den), frames.shape[0] - 1)
+        assert bytes(row.frame_bytes) == frames[fi].tobytes()
 
 
 def test_media_features_query_oracle():
@@ -169,21 +222,30 @@ def test_media_frame_stats_query():
     from lasvdedup_ray.pipelines.media import MEDIA_N, MEDIA_SEED, media_frame_stats
     from lasvdedup_ray.stages.multimodal import synthetic_media_table
 
+    from lasvdedup_ray.stages.multimodal import parse_y4m
+
     out = media_frame_stats("unused").to_pandas()
     src = synthetic_media_table(n=MEDIA_N, seed=MEDIA_SEED).to_pandas()
     vids = src[src["media_type"] == "video"]
     assert set(out["item_id"]) == set(vids["item_id"])
     for _, v in vids.iterrows():
         row = out[out["item_id"] == v["item_id"]].iloc[0]
+        w, h, num, den, frames = parse_y4m(v["payload"])
         expect_frames = max(1, int(v["duration_ms"]) // 1000)
         assert row["n_frames"] == expect_frames
-        assert row["total_bytes"] == len(v["payload"])  # slices partition payload
+        # each sampled row carries one full decoded planar-YUV frame
+        assert row["total_bytes"] == expect_frames * frames.shape[1]
 
 
 def test_media_decoded_stats_query():
-    """The decode=True query aggregates real decoded-domain quantities."""
+    """The decode=True query aggregates real decoded-domain quantities
+    for all three modalities (video included since the Y4M decoder)."""
     from lasvdedup_ray.pipelines.media import MEDIA_N, media_decoded_stats
-    from lasvdedup_ray.stages.multimodal import SYNTH_WAV_RATE
+    from lasvdedup_ray.stages.multimodal import (
+        SYNTH_WAV_RATE,
+        SYNTH_Y4M_FPS,
+        parse_y4m,
+    )
 
     out = media_decoded_stats("unused").to_pandas().set_index("media_type")
     t = synthetic_media_table(MEDIA_N)
@@ -199,8 +261,14 @@ def test_media_decoded_stats_query():
         for mt, d in zip(t["media_type"].to_pylist(), t["duration_ms"].to_pylist())
         if mt == "audio"
     )
+    exp_yuv = sum(
+        parse_y4m(p)[4].size
+        for mt, p in zip(t["media_type"].to_pylist(), t["payload"].to_pylist())
+        if mt == "video"
+    )
     assert out.loc["image", "total_samples"] == exp_pixels
     assert out.loc["audio", "total_samples"] == exp_samples
+    assert out.loc["video", "total_samples"] == exp_yuv
     assert out.loc["audio", "max_sample_rate"] == SYNTH_WAV_RATE
+    assert out.loc["video", "max_sample_rate"] == SYNTH_Y4M_FPS
     assert out.loc["image", "max_sample_rate"] == -1
-    assert "video" not in out.index
