@@ -290,32 +290,33 @@ def pack_sequences(sf_dir: str) -> ray.data.Dataset:
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1])) if n_chunks else sums
     offsets_ref = ray.put(offsets)
 
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
+    def assign(g: pa.Table) -> pa.Table:
         # emit PER-SEQUENCE partials, not per-doc rows: within a chunk the
         # seq ids are a sorted run, so a run-length reduce collapses the
         # chunk to O(chunk_tokens / BUDGET) rows before the merge shuffle
         off = ray.get(offsets_ref)
-        g = g.sort_values("doc_id")
-        tok = g["tok"].to_numpy()
-        doc = g["doc_id"].to_numpy()
-        start = int(off[int(g["chunk"].iloc[0])]) + np.cumsum(tok) - tok
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = g["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        doc, tok = doc[order], tok[order]
+        start = int(off[int(g["chunk"][0].as_py())]) + np.cumsum(tok) - tok
         seq = start // PACK_TOKEN_BUDGET
         starts = np.ones(len(seq), dtype=bool)
         starts[1:] = seq[1:] != seq[:-1]
         idx = np.flatnonzero(starts)
         ends = np.append(idx[1:], len(seq))
         csum = np.concatenate(([0], np.cumsum(tok)))
-        return pd.DataFrame(
+        return pa.table(
             {
-                "seq_id": seq[idx],
-                "n_docs": ends - idx,
-                "sum_tokens": csum[ends] - csum[idx],
-                "first_doc": doc[idx],
-                "last_doc": doc[ends - 1],
+                "seq_id": pa.array(seq[idx], pa.int64()),
+                "n_docs": pa.array(ends - idx, pa.int64()),
+                "sum_tokens": pa.array(csum[ends] - csum[idx], pa.int64()),
+                "first_doc": pa.array(doc[idx], pa.int64()),
+                "last_doc": pa.array(doc[ends - 1], pa.int64()),
             }
         )
 
-    partials = slim.groupby("chunk").map_groups(assign, batch_format="pandas")
+    partials = slim.groupby("chunk").map_groups(assign, batch_format="pyarrow")
     # merge shuffle over O(n_sequences) partial rows (boundary sequences
     # split across two chunks contribute two partials)
     return (
