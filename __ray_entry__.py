@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": relational.q3_top_orders,
         "span_dedup_docs": textops.span_dedup_docs,
         "incremental_neardup_docs": textops.incremental_neardup_docs,
+        # NEW r5: incremental near-dup through the persisted shingle index
+        "incremental_index_neardup": textops.incremental_index_neardup,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -433,6 +435,47 @@ def _ngram_pairs_sql() -> str:
             JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
             ORDER BY i.id_a, i.id_b
+    """
+
+
+def _incremental_index_sql() -> str:
+    """Mirror of textops.incremental_index_neardup / state.neardup_index:
+    even doc_ids are the persisted index corpus, odd doc_ids the incoming
+    batch.  The df cap (NGRAM_DF_CAP=128) applies to INDEX shingles only —
+    incoming shingles are probes and never capped; |B| is the index doc's
+    KEPT shingle count, |A| the incoming doc's full distinct count."""
+    return """
+            WITH pos AS (
+                SELECT doc_id, text,
+                       unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+                FROM documents
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       CASE WHEN length(text) < 8 THEN text
+                            ELSE substr(text, CAST(i AS INTEGER), 8) END AS shingle
+                FROM pos
+            ),
+            idx AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+            inc AS (SELECT * FROM sh WHERE doc_id % 2 = 1),
+            df AS (SELECT shingle, count(*) AS df FROM idx GROUP BY shingle),
+            idxk AS (
+                SELECT idx.doc_id, idx.shingle FROM idx
+                JOIN df ON idx.shingle = df.shingle WHERE df.df <= 128
+            ),
+            bsz AS (SELECT doc_id, count(*) AS sz FROM idxk GROUP BY doc_id),
+            asz AS (SELECT doc_id, count(*) AS sz FROM inc GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS in_id, b.doc_id AS idx_id, count(*) AS inter
+                FROM inc a JOIN idxk b ON a.shingle = b.shingle
+                GROUP BY 1, 2
+            )
+            SELECT i.in_id AS doc_id, count(*) AS n_partners
+            FROM inter i
+            JOIN asz ON i.in_id = asz.doc_id
+            JOIN bsz ON i.idx_id = bsz.doc_id
+            WHERE i.inter * 1.0 / (asz.sz + bsz.sz - i.inter) >= 0.5
+            GROUP BY 1 ORDER BY 1
     """
 
 
@@ -1777,6 +1820,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY doc_id
         """,
+        # incremental near-dup through the PERSISTED index: index-side df
+        # cap, uncapped probe shingles (state/neardup_index.py semantics)
+        "incremental_index_neardup": _incremental_index_sql(),
         # per-element DOUBLE casts mirror the engine's f32 -> f64 promotion
         # before the moment sums (sum/sumsq of FLOAT would drift)
         "label_centroids": """

