@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+import lasvdedup_ray  # noqa: F401  (sets NUMPY_MADVISE_HUGEPAGE before ray.init)
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 FILES_PER_SF = 200_000

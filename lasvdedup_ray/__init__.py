@@ -6,6 +6,7 @@ representative selection) as idiomatic ray.data pipelines over Parquet
 source-code tables.  See SURVEY.md for the full blueprint.
 """
 
+from . import _alloc  # noqa: F401  (side effect: THP-madvise hygiene, must run first)
 from .config import (
     ClassThresholds,
     ExecutionConfig,
