@@ -110,26 +110,77 @@ def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     return np.unique(splitmix64(raw))
 
 
+# Text bytes per rolling-hash slice.  The width-doubling kernel allocates
+# ~8 bytes of uint64 temporaries per input byte per pass; on a whole 10-24
+# MB map_batches batch that is a >100 MB numpy temporary, and glibc's
+# dynamic mmap threshold caps at 32 MB — so every such temporary is
+# mmap'd on alloc and munmap'd on free, which at 32 concurrent workers
+# turns the sign stage kernel-bound (page faults + TLB shootdowns; ~93%
+# sys time measured at 600k files).  Slicing the batch into ~2 MB text
+# chunks keeps each temporary ~16 MB — under the threshold, so after the
+# first couple of frees glibc serves them from the reusable heap and the
+# pages stay faulted.  Shingles never span documents, so chunking along
+# doc boundaries is bit-identical to the single-pass result.
+_SHINGLE_SLICE_BYTES = 2 << 20
+
+
 def shingle_hashes_batch(
     buf: np.ndarray,
     starts: np.ndarray,
     ends: np.ndarray,
     k: int,
     sample_mod: int = 1,
+    slice_bytes: int = _SHINGLE_SLICE_BYTES,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-doc unique k-gram hashes for a WHOLE batch, computed over the
     batch's concatenated utf-8 byte buffer (zero-copy from the Arrow string
     array's data buffer).  Per-document output is bit-identical to
     ``shingle_hashes(doc_bytes, k)`` + the ``sample_mod`` low-bits filter,
-    but the rolling polynomial runs ONCE over the whole buffer as ``k``
-    shifted multiply-adds — no per-doc Python-string materialization and no
+    but the rolling polynomial runs over bounded slices as ``k`` shifted
+    multiply-adds — no per-doc Python-string materialization and no
     (n, k) window matrix (the round-2 signer allocated ~80 B of temporaries
-    per input byte; this path allocates ~24 B).
+    per input byte; this path allocates ~24 B, in reusable-heap-sized
+    slices).
 
     ``buf``: uint8 view of the concatenated docs; ``starts``/``ends``:
     per-doc byte ranges.  Returns ``(hash_concat, offsets, counts)`` in
     ``oph_signatures``/``minhash_signatures`` layout.
     """
+    n_docs = int(starts.shape[0])
+    if n_docs == 0 or int(ends[-1]) - int(starts[0]) <= slice_bytes:
+        return _shingle_hashes_slice(buf, starts, ends, k, sample_mod)
+    # Group docs into slices of <= slice_bytes text (an oversized doc gets
+    # its own slice), run the kernel per slice, stitch the outputs.
+    offsets = np.empty(n_docs, dtype=np.intp)
+    counts = np.empty(n_docs, dtype=np.int64)
+    parts: List[np.ndarray] = []
+    pos = 0
+    d0 = 0
+    while d0 < n_docs:
+        base = int(starts[d0])
+        d1 = d0 + 1
+        while d1 < n_docs and int(ends[d1]) - base <= slice_bytes:
+            d1 += 1
+        limit = int(ends[d1 - 1])
+        h, offs, cnts = _shingle_hashes_slice(
+            buf[base:limit], starts[d0:d1] - base, ends[d0:d1] - base, k, sample_mod
+        )
+        parts.append(h)
+        offsets[d0:d1] = offs + pos
+        counts[d0:d1] = cnts
+        pos += int(h.shape[0])
+        d0 = d1
+    return np.concatenate(parts), offsets, counts
+
+
+def _shingle_hashes_slice(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    k: int,
+    sample_mod: int = 1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-pass kernel over one contiguous slice (see driver above)."""
     n_docs = starts.shape[0]
     offsets = np.empty(n_docs, dtype=np.intp)
     counts = np.empty(n_docs, dtype=np.int64)

@@ -64,10 +64,44 @@ def _strip_schema_meta(t: pa.Table) -> pa.Table:
     return t.replace_schema_metadata(None)
 
 
+def _first_file(paths) -> str | None:
+    if isinstance(paths, (str, os.PathLike)):
+        paths = [paths]
+    elif not isinstance(paths, (list, tuple)) or not paths:
+        return None
+    p = os.fspath(paths[0])
+    if os.path.isfile(p):
+        return p
+    if os.path.isdir(p):
+        for root, _dirs, files in sorted(os.walk(p)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return None
+
+
+def _clean_schema(path: str) -> pa.Schema | None:
+    """Footer schema of ``path`` with all schema- and field-level metadata
+    removed; None when the footer can't be read (let Ray infer)."""
+    import pyarrow.parquet as pq
+
+    try:
+        s = pq.read_schema(path)
+    except Exception:
+        return None
+    fields = [f.remove_metadata() for f in s]
+    return pa.schema(fields)
+
+
 def read_parquet_clean(*args, **kwargs) -> ray.data.Dataset:
     """Drop-in for ``ray.data.read_parquet`` whose blocks carry
     metadata-free (hence hashable, dedupable) schemas, and whose block
-    count is derived from the input size for small inputs (see above)."""
+    count is derived from the input size for small inputs (see above).
+
+    The clean schema is passed INTO ``read_parquet`` (types unchanged,
+    metadata dropped), so the read operator itself emits hashable
+    schemas — the post-read strip stage remains as a safety net for
+    multi-file inputs whose later files carry different metadata."""
     if "override_num_blocks" not in kwargs and args:
         sz = _input_bytes(args[0])
         if sz is not None and sz <= _SMALL_READ_BYTES:
@@ -78,6 +112,21 @@ def read_parquet_clean(*args, **kwargs) -> ray.data.Dataset:
             kwargs["override_num_blocks"] = max(
                 1, min(2 * cpus, -(-sz // _BLOCK_TARGET_BYTES))
             )
+    if "schema" not in kwargs and args:
+        f = _first_file(args[0])
+        if f is not None:
+            s = _clean_schema(f)
+            if s is not None:
+                cols = kwargs.get("columns")
+                if cols is not None:
+                    # the read schema must match the projected block shape;
+                    # a requested column absent from the footer (e.g. a
+                    # hive partition column) means we can't pre-declare the
+                    # schema — fall back to Ray's inference + post-strip
+                    if all(s.get_field_index(c) >= 0 for c in cols):
+                        kwargs["schema"] = pa.schema([s.field(c) for c in cols])
+                else:
+                    kwargs["schema"] = s
     return ray.data.read_parquet(*args, **kwargs).map_batches(
         _strip_schema_meta, batch_format="pyarrow"
     )
