@@ -554,8 +554,16 @@ def make_partition_pair_emitter(
             if iu.size == 0:
                 return
             eq = sigs[iu] == sigs[ju]  # (npairs, num_perms)
-            d = 1.0 - eq.mean(axis=1)
+            d = 1.0 - np.count_nonzero(eq, axis=1) / float(num_perms)
             keep = d <= tau
+            # the canonical-band skip below costs ~3 linear passes over
+            # (npairs, num_perms); survivors of the tau filter are a tiny
+            # fraction of raw bucket pairs, so filter FIRST and run the
+            # band logic on survivors only
+            if not np.any(keep):
+                return
+            iu, ju, d, eq = iu[keep], ju[keep], d[keep], eq[keep]
+            keep = np.ones(iu.size, dtype=bool)
             # Canonical-band skip, capped-aware (ADVICE r1):
             # - UNCAPPED bucket: skip only if an earlier UNCAPPED band
             #   agreed (it fully expanded and emitted the pair).  An earlier
@@ -589,15 +597,24 @@ def make_partition_pair_emitter(
 
         # fast path: buckets of the same (small) size are expanded together
         # — per-bucket Python looping costs ~0.2 ms x millions of tiny
-        # buckets and dominated this stage before
+        # buckets and dominated this stage before.  Each flush is capped at
+        # ~pair_batch_rows pairs: an uncapped flush over e.g. 500k size-2
+        # buckets gathers (500k, num_perms) sig matrices — >100 MB
+        # temporaries that glibc mmap/munmaps every call (the same
+        # kernel-churn pathology as the sign kernel, see
+        # functions/hashing.py); 64k-pair chunks stay on the reusable heap.
+        pair_batch = max(1, int(lsh_cfg.pair_batch_rows))
         multi = sizes >= 2
         small = multi & (sizes <= cap)
         for sz in np.unique(sizes[small]):
             ss = starts[sizes == sz]
             iu_l, ju_l = np.triu_indices(int(sz), k=1)
-            iu = (ss[:, None] + iu_l[None, :]).ravel()
-            ju = (ss[:, None] + ju_l[None, :]).ravel()
-            flush(iu, ju)
+            step = max(1, pair_batch // max(int(iu_l.size), 1))
+            for c0 in range(0, ss.size, step):
+                sc = ss[c0 : c0 + step]
+                iu = (sc[:, None] + iu_l[None, :]).ravel()
+                ju = (sc[:, None] + ju_l[None, :]).ravel()
+                flush(iu, ju)
 
         # capped path: oversized (skewed) buckets chain SimHash neighbors
         for s, sz in zip(starts[sizes > cap], sizes[sizes > cap]):
