@@ -597,24 +597,58 @@ def make_partition_pair_emitter(
 
         # fast path: buckets of the same (small) size are expanded together
         # — per-bucket Python looping costs ~0.2 ms x millions of tiny
-        # buckets and dominated this stage before.  Each flush is capped at
-        # ~pair_batch_rows pairs: an uncapped flush over e.g. 500k size-2
-        # buckets gathers (500k, num_perms) sig matrices — >100 MB
-        # temporaries that glibc mmap/munmaps every call (the same
-        # kernel-churn pathology as the sign kernel, see
-        # functions/hashing.py); 64k-pair chunks stay on the reusable heap.
-        pair_batch = max(1, int(lsh_cfg.pair_batch_rows))
+        # buckets and dominated this stage before.  The naive expansion
+        # (gather sigs[iu]/sigs[ju] per raw pair) moves 2 x 256 B of DRAM
+        # per pair — ~3 GB per partition at 600k files, which made this
+        # stage memory-bandwidth-bound and ANTI-scale 8 -> 32 CPUs.  The
+        # blocked path below instead gathers each bucket's CONTIGUOUS
+        # signature rows once (256 B per row), compares inside the
+        # cache-resident block in ~1024-pair chunks whose temporaries fit
+        # the core-PRIVATE L2 (~512 KB — measured 2.5x faster than 8k-pair
+        # chunks at 16-way concurrency: L3 is shared and thrashes), and
+        # hands only the tau-survivors (a tiny fraction) to ``flush``,
+        # which redoes the exact compare + canonical-band logic on that
+        # small set — the emitted pair sequence is bit-identical to the
+        # naive expansion (pinned by tests/test_skew.py / the flagship
+        # oracle).
+        pair_chunk = max(1, int(lsh_cfg.pair_batch_rows) // 64)
         multi = sizes >= 2
         small = multi & (sizes <= cap)
+        fperms = float(num_perms)
         for sz in np.unique(sizes[small]):
+            sz = int(sz)
             ss = starts[sizes == sz]
-            iu_l, ju_l = np.triu_indices(int(sz), k=1)
-            step = max(1, pair_batch // max(int(iu_l.size), 1))
-            for c0 in range(0, ss.size, step):
-                sc = ss[c0 : c0 + step]
-                iu = (sc[:, None] + iu_l[None, :]).ravel()
-                ju = (sc[:, None] + ju_l[None, :]).ravel()
-                flush(iu, ju)
+            iu_l, ju_l = np.triu_indices(sz, k=1)
+            npl = iu_l.size
+            if npl <= pair_chunk:
+                # many buckets per chunk: block gather (nb, sz, perms),
+                # broadcast-compare all triu pairs of every bucket at once
+                step = max(1, pair_chunk // npl)
+                col = np.arange(sz, dtype=np.int64)
+                for c0 in range(0, ss.size, step):
+                    sc = ss[c0 : c0 + step]
+                    block = sigs[(sc[:, None] + col[None, :]).ravel()]
+                    block = block.reshape(sc.size, sz, num_perms)
+                    cnt = (block[:, iu_l, :] == block[:, ju_l, :]).sum(axis=2)
+                    sel = (1.0 - cnt / fperms) <= tau
+                    selr = sel.ravel()
+                    if selr.any():
+                        flush(
+                            (sc[:, None] + iu_l[None, :]).ravel()[selr],
+                            (sc[:, None] + ju_l[None, :]).ravel()[selr],
+                        )
+            else:
+                # one big bucket at a time: its (sz, perms) slice is a
+                # cache-resident view; chunk the triu pair list instead
+                for s in ss:
+                    blk = sigs[s : s + sz]
+                    for p0 in range(0, npl, pair_chunk):
+                        il = iu_l[p0 : p0 + pair_chunk]
+                        jl = ju_l[p0 : p0 + pair_chunk]
+                        cnt = (blk[il] == blk[jl]).sum(axis=1)
+                        sel = (1.0 - cnt / fperms) <= tau
+                        if sel.any():
+                            flush(s + il[sel], s + jl[sel])
 
         # capped path: oversized (skewed) buckets chain SimHash neighbors
         for s, sz in zip(starts[sizes > cap], sizes[sizes > cap]):
