@@ -103,6 +103,21 @@ def dedup_pipeline(
     (missing rows rank last).  ``edges_out``: optional Parquet directory for
     the verified edge list — the scalable analog of the reference's dense
     ``.mldist`` distance-matrix sink (``io_utils.py:69-83``)."""
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _phase_log = bool(_os.environ.get("LASVDEDUP_PHASE_LOG"))
+    _t_last = [_time.time()]
+
+    def _phase(name: str) -> None:
+        # scaling diagnostics only (LASVDEDUP_PHASE_LOG=1): wall time since
+        # the previous sync point, printed to stderr — no behavior change
+        if _phase_log:
+            now = _time.time()
+            print(f"PHASE {name}: {now - _t_last[0]:.2f}s", file=_sys.stderr, flush=True)
+            _t_last[0] = now
+
     config = config or PipelineConfig()
     if config.group_only and not config.group_regex:
         raise ValueError("group_only=True requires group_regex")
@@ -193,6 +208,7 @@ def dedup_pipeline(
             ),
             "signed",
         )
+        _phase("prepare+sign")
         if signed.count() == 0:
             from ..stages.classify import RESULT_SCHEMA
 
@@ -245,6 +261,7 @@ def dedup_pipeline(
                 reps_slim = fused_reps(fused)
                 n_reps = reps_slim.count()  # cheap filter pass over pinned fused
                 e_edges = fused_edges(fused)
+                _phase("exact_collapse")
             near_edges = verify_pairs(
                 candidate_pairs(
                     reps_slim.select_columns(["id", "minhash", "simhash"]),
@@ -259,6 +276,7 @@ def dedup_pipeline(
                 tau=tau,
                 num_partitions=num_partitions,
             )
+            _phase("candidates+verify")
             edges = near_edges.union(e_edges)
 
     if rank_table is not None:
@@ -296,6 +314,7 @@ def dedup_pipeline(
         num_partitions=num_partitions,
         force_distributed=force_distributed_components,
     )
+    _phase("unionfind")
     return classify_clusters(clustered, config)
 
 

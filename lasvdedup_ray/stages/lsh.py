@@ -30,6 +30,7 @@ from ray.data.aggregate import Count, Min
 
 from ..config import LSHConfig, SignatureConfig
 from ..functions.hashing import band_hashes, splitmix64 as _smx64
+from .exchange import hash_exchange
 from .signatures import sig_matrix_from_column, sigs_to_matrix
 
 # worker-process-level caches for broadcast side data (hot-bucket keys and
@@ -795,12 +796,12 @@ def candidate_pairs(
 
     # materialize once: the hot-key set is O(colliding buckets), far smaller
     # than the input, and is consumed twice (count + collect/stream)
-    hot_ds = (
-        signed_slim.map_batches(emit_keys, batch_format="pyarrow", batch_size=8192)
-        .groupby("pkey")
-        .map_groups(dup_keys, batch_format="pyarrow")
-        .materialize()
-    )
+    hot_ds = hash_exchange(
+        signed_slim.map_batches(emit_keys, batch_format="pyarrow", batch_size=8192),
+        "pkey",
+        num_partitions,
+        dup_keys,
+    ).materialize()
     n_hot = hot_ds.count()
     if n_hot == 0:
         # no bucket has >= 2 members -> no candidate pairs at all (also the
@@ -913,9 +914,15 @@ def _banded_pairs(
         batch_format="pyarrow",
         batch_size=4096,
     )
-    pairs = bands_ds.groupby("pkey").map_groups(
+    # pkey is a hash residue in [0, num_partitions): use the raw-Ray hash
+    # exchange (stages/exchange.py) instead of the sort-based groupby —
+    # same co-location contract, no sampling pass / sort barrier (the
+    # barrier was ~15 s of CPU-count-independent wall at 600k files)
+    pairs = hash_exchange(
+        bands_ds,
+        "pkey",
+        num_partitions,
         make_partition_pair_emitter(sig_cfg, lsh_cfg, tau, sig_store_ref=sig_store_ref),
-        batch_format="pyarrow",
     )
     if dedup_pairs:
         # canonical-band emission already reduces multiplicity to ~1; this
