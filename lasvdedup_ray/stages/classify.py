@@ -376,7 +376,7 @@ def classify_clusters(
     clustered: ray.data.Dataset, config: Optional[PipelineConfig] = None
 ) -> ray.data.Dataset:
     """Hash-partition shuffle on cluster_id + per-partition decision tree."""
-    import zlib
+    import pandas as _pd
 
     config = config or PipelineConfig()
     # ~4 partitions per CPU so a partition holding a mega-cluster doesn't
@@ -389,18 +389,20 @@ def classify_clusters(
         n_parts = CLASSIFY_PARTITIONS
 
     def add_pkey(t: pa.Table) -> pa.Table:
-        keys = t["cluster_id"].to_pylist()
-        pk = np.fromiter(
-            (zlib.crc32(k.encode()) % n_parts for k in keys),
-            dtype=np.int32,
-            count=len(keys),
-        )
+        # any pure function of cluster_id co-locates whole clusters;
+        # vectorized 64-bit string hash instead of a per-row crc32 loop
+        keys = np.asarray(t["cluster_id"].to_pylist(), dtype=object)
+        pk = (_pd.util.hash_array(keys, categorize=False) % n_parts).astype(np.int32)
         return t.append_column("pkey", pa.array(pk, pa.int32()))
 
-    return (
-        # batch_size coalesces into few large blocks: sort-shuffle latency
-        # scales with block count
-        clustered.map_batches(add_pkey, batch_format="pyarrow", batch_size=8192)
-        .groupby("pkey")
-        .map_groups(make_partition_classifier(config), batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    # pkey is a hash residue in [0, n_parts): the raw-Ray hash exchange
+    # (stages/exchange.py) co-locates clusters without the sort barrier's
+    # sampling pass + SortMap/SortReduce waves
+    return hash_exchange(
+        clustered.map_batches(add_pkey, batch_format="pyarrow", batch_size=8192),
+        "pkey",
+        n_parts,
+        make_partition_classifier(config),
     )

@@ -16,7 +16,7 @@ Python call per distinct content hash.
 
 from __future__ import annotations
 
-import zlib
+
 
 import numpy as np
 import pyarrow as pa
@@ -29,12 +29,12 @@ NUM_PARTITIONS = 64
 
 
 def _add_pkey(t: pa.Table) -> pa.Table:
-    keys = t["sha_hex"].to_pylist()
-    pk = np.fromiter(
-        (zlib.crc32(k.encode()) % NUM_PARTITIONS for k in keys),
-        dtype=np.int32,
-        count=len(keys),
-    )
+    # any pure function of sha_hex co-locates each sha's rows; vectorized
+    # 64-bit hash instead of a per-row crc32 loop
+    import pandas as _pd
+
+    keys = np.asarray(t["sha_hex"].to_pylist(), dtype=object)
+    pk = (_pd.util.hash_array(keys, categorize=False) % NUM_PARTITIONS).astype(np.int32)
     return t.append_column("pkey", pa.array(pk, pa.int32()))
 
 
@@ -60,10 +60,13 @@ def exact_representatives(prepared: ray.data.Dataset) -> ray.data.Dataset:
         take = pa.array(order[first], pa.int64())
         return g.take(take).drop_columns(["pkey"])
 
-    return (
-        prepared.map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(keep_firsts, batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(
+        prepared.map_batches(_add_pkey, batch_format="pyarrow"),
+        "pkey",
+        NUM_PARTITIONS,
+        keep_firsts,
     )
 
 
@@ -130,10 +133,13 @@ def exact_collapse(signed_slim: ray.data.Dataset) -> ray.data.Dataset:
         )
         return pa.concat_tables([rep_part, edge_part])
 
-    return (
-        signed_slim.map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(emit_fused, batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(
+        signed_slim.map_batches(_add_pkey, batch_format="pyarrow"),
+        "pkey",
+        NUM_PARTITIONS,
+        emit_fused,
     )
 
 
@@ -249,9 +255,13 @@ def exact_dup_edges(prepared_slim: ray.data.Dataset) -> ray.data.Dataset:
             schema=PAIR_SCHEMA,
         )
 
-    return (
-        prepared_slim.select_columns(["sha_hex", "id"])
-        .map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(emit_edges, batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(
+        prepared_slim.select_columns(["sha_hex", "id"]).map_batches(
+            _add_pkey, batch_format="pyarrow"
+        ),
+        "pkey",
+        NUM_PARTITIONS,
+        emit_edges,
     )
