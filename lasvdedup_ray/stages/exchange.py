@@ -50,6 +50,9 @@ def _split_by_pkey(block: pa.Table, pkey_col: str, num_partitions: int):
     out = []
     for p in range(num_partitions):
         out.append(block.filter(pa.array(pk == p)))
+    if num_partitions == 1:
+        # num_returns=1 treats a tuple return as THE single value
+        return out[0]
     return tuple(out)
 
 

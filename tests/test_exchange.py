@@ -1,0 +1,110 @@
+"""hash_exchange (stages/exchange.py): the raw-Ray pkey co-location used
+in place of sort-based groupby(pkey).map_groups across the flagship.
+
+Contract under test: every row with the same pkey reaches exactly ONE
+reduce call, reducers see whole groups (possibly several pkeys' rows
+never mix — one reduce per pkey), and results match the groupby path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from lasvdedup_ray.stages.exchange import hash_exchange
+
+
+def _mk(n_rows: int, n_parts: int, n_blocks: int = 5) -> rd.Dataset:
+    t = pa.table(
+        {
+            "pkey": pa.array((np.arange(n_rows) * 7919) % n_parts, pa.int32()),
+            "v": pa.array(np.arange(n_rows), pa.int64()),
+        }
+    )
+    return rd.from_arrow(t).repartition(n_blocks)
+
+
+def _make_summarize():
+    """Factory returning a fully self-contained closure: cloudpickle ships
+    closures (and their imports-inside) by value, while test-module-level
+    functions pickle by reference and Ray workers cannot import tests."""
+
+    def _summarize(g):
+        import numpy as _np
+        import pyarrow as _pa
+
+        if g.num_rows == 0:
+            return _pa.table(
+                {
+                    "pkey": _pa.array([], _pa.int32()),
+                    "n": _pa.array([], _pa.int64()),
+                    "vsum": _pa.array([], _pa.int64()),
+                }
+            )
+        pk = g["pkey"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        keys = _np.unique(pk)
+        return _pa.table(
+            {
+                "pkey": _pa.array(keys, _pa.int32()),
+                "n": _pa.array([int((pk == k).sum()) for k in keys], _pa.int64()),
+                "vsum": _pa.array([int(v[pk == k].sum()) for k in keys], _pa.int64()),
+            }
+        )
+
+    return _summarize
+
+
+@pytest.mark.parametrize("n_parts", [1, 8, 12])  # incl. non-power-of-two
+def test_matches_groupby(ray_session, n_parts):
+    ds = _mk(1000, n_parts)
+    summarize = _make_summarize()
+    ours = hash_exchange(ds, "pkey", n_parts, summarize).to_pandas()
+    ref = (
+        ds.groupby("pkey")
+        .map_groups(summarize, batch_format="pyarrow")
+        .to_pandas()
+    )
+    ours = ours.sort_values("pkey").reset_index(drop=True)
+    ref = ref.sort_values("pkey").reset_index(drop=True)
+    assert ours.equals(ref)
+
+
+def test_one_reduce_call_per_pkey(ray_session):
+    """Each pkey's rows arrive complete in a single reduce invocation."""
+    n_parts = 6
+    ds = _mk(600, n_parts)
+
+    def whole_group(g):
+        import numpy as _np
+        import pyarrow as _pa
+
+        pk = g["pkey"].to_numpy(zero_copy_only=False)
+        # every pkey present must be complete: 600 rows spread over
+        # (i*7919)%6 — count per key is exactly 100
+        keys, counts = _np.unique(pk, return_counts=True)
+        assert all(c == 100 for c in counts), (keys, counts)
+        return _pa.table({"n_keys": _pa.array([len(keys)], _pa.int64())})
+
+    out = hash_exchange(ds, "pkey", n_parts, whole_group).to_pandas()
+    assert int(out["n_keys"].sum()) == n_parts
+
+
+def test_empty_upstream_blocks(ray_session):
+    """Blocks that hold no rows for a partition yield an empty reduce input
+    with the upstream schema preserved (drop_columns etc. still work)."""
+    t = pa.table(
+        {
+            "pkey": pa.array([0, 0, 0], pa.int32()),
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def fn(g):
+        import pyarrow as _pa
+
+        assert g.schema.names == ["pkey", "v"]
+        return _pa.table({"n": _pa.array([g.num_rows], _pa.int64())})
+
+    out = hash_exchange(ds, "pkey", 4, fn).to_pandas()
+    assert sorted(out["n"]) == [0, 0, 0, 3]
