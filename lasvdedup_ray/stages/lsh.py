@@ -309,7 +309,8 @@ def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
     ):
         idh_parts.append(b.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64))
         sig_parts.append(sig16_matrix(b.column("sig"), np_).copy())
-        id_parts.append(np.asarray(b.column("id").to_pylist(), dtype=object))
+        col = b.column("id")
+        id_parts.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
     if not idh_parts:
         return None, None
     idh_all = np.concatenate(idh_parts)
@@ -325,14 +326,13 @@ def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
         )
         return None, None
     sig16_sorted = np.ascontiguousarray(np.vstack(sig_parts)[order])
-    ref = ray.put(
-        (
-            "blob",
-            idh_sorted,
-            sig16_sorted,
-            np.concatenate(id_parts)[order],
-        )
-    )
+    # ids stay an ARROW string array: its buffers travel out-of-band
+    # through plasma (zero-copy per worker), instead of an object ndarray
+    # whose unpickle materializes n Python strings in every worker process
+    ids_sorted = pa.concat_arrays(
+        [c.cast(pa.string()) for c in id_parts]
+    ).take(pa.array(order, pa.int64()))
+    ref = ray.put(("blob", idh_sorted, sig16_sorted, ids_sorted))
     return ref, sig16_sorted
 
 
@@ -471,15 +471,36 @@ def make_partition_pair_emitter(
             store = _WORKER_SIG_CACHE[sig_store_ref]
             idh_vals = g.column("idh").to_numpy(zero_copy_only=False).astype(np.uint64)
             if store[0] == "blocks":
-                sigs, ids = _resolve_from_blocks(store, idh_vals, num_perms)
+                sigs, ids_obj = _resolve_from_blocks(store, idh_vals, num_perms)
+                ids_src, ids_idx, idh_pre = None, None, None
             else:
+                # blob layout: sigs/idh are zero-copy numpy views and ids an
+                # Arrow string array straight out of plasma.  Rows carry
+                # STORE INDICES through the sort/emission below; strings are
+                # materialized only for the few emitted pairs (fetch()),
+                # never for all m band rows.
                 _, IDH, SIG, IDS = store
                 pos = np.searchsorted(IDH, idh_vals)
                 sigs = SIG[pos]
-                ids = IDS[pos]
+                ids_obj, ids_src, ids_idx = None, IDS, pos
+                # idh_vals IS pd.util.hash_array(id) per store construction
+                # (collision-checked), so the tie-break hash below needs no
+                # re-hash of resolved strings
+                idh_pre = idh_vals
         else:
-            ids = np.asarray(g.column("id").to_pylist(), dtype=object)
+            ids_obj = np.asarray(g.column("id").to_pylist(), dtype=object)
+            ids_src, ids_idx, idh_pre = None, None, None
             sigs = sig16_matrix(g.column("sig16"), num_perms)
+
+        def fetch(ridx: np.ndarray) -> np.ndarray:
+            # row indices -> id strings (object ndarray); reads the CURRENT
+            # ids_obj/ids_idx bindings (they are reindexed alongside sigs)
+            if ids_obj is not None:
+                return ids_obj[ridx]
+            return np.asarray(
+                ids_src.take(pa.array(ids_idx[ridx], pa.int64())).to_pylist(),
+                dtype=object,
+            )
 
         # 64-bit hash of each row's full signature: identical signatures
         # (exact dups and sketch-identical near-dups) collapse to ONE
@@ -501,9 +522,16 @@ def make_partition_pair_emitter(
         # a 64-bit id hash breaks run-internal ties reproducibly
         import pandas as _pd
 
-        idh = _pd.util.hash_array(ids, categorize=False)
+        if idh_pre is not None:
+            idh = idh_pre
+        else:
+            idh = _pd.util.hash_array(ids_obj, categorize=False)
         order = np.lexsort((idh, sigh, bh, band))
-        band, bh, ids, sim, sigs = band[order], bh[order], ids[order], sim[order], sigs[order]
+        band, bh, sim, sigs = band[order], bh[order], sim[order], sigs[order]
+        if ids_obj is not None:
+            ids_obj = ids_obj[order]
+        else:
+            ids_idx = ids_idx[order]
         cmask, sigh = cmask[order], sigh[order]
         boundary = np.ones(m, dtype=bool)
         boundary[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
@@ -530,7 +558,7 @@ def make_partition_pair_emitter(
             emit_mask = band[followers] == first_unc
             f = followers[emit_mask]
             if f.size:
-                a_ids, b_ids = ids[rep_of_row[f]], ids[f]
+                a_ids, b_ids = fetch(rep_of_row[f]), fetch(f)
                 swap = a_ids > b_ids
                 out_a.append(np.where(swap, b_ids, a_ids))
                 out_b.append(np.where(swap, a_ids, b_ids))
@@ -539,7 +567,10 @@ def make_partition_pair_emitter(
         # representative-only view: rebuild bucket boundaries over reps
         band = band[rep_pos]
         bh = bh[rep_pos]
-        ids = ids[rep_pos]
+        if ids_obj is not None:
+            ids_obj = ids_obj[rep_pos]
+        else:
+            ids_idx = ids_idx[rep_pos]
         sim = sim[rep_pos]
         sigs = sigs[rep_pos]
         cmask = cmask[rep_pos]
@@ -590,7 +621,7 @@ def make_partition_pair_emitter(
             iu, ju, d = iu[keep], ju[keep], d[keep]
             if iu.size == 0:
                 return
-            a_ids, b_ids = ids[iu], ids[ju]
+            a_ids, b_ids = fetch(iu), fetch(ju)
             swap = a_ids > b_ids  # canonical id_a < id_b
             out_a.append(np.where(swap, b_ids, a_ids))
             out_b.append(np.where(swap, a_ids, b_ids))
