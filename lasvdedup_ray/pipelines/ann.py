@@ -593,15 +593,16 @@ def embedding_neardup_lsh(
             }
         )
 
-    pairs = (
+    from ..stages.exchange import hash_exchange
+
+    pairs = hash_exchange(
         ds.map_batches(bucketize_slim, batch_format="pyarrow")
         .groupby(["tbl", "bkey"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
-        .map_batches(pair_pkey, batch_format="pyarrow")
-        .groupby("ppk")
-        .map_groups(
-            lambda t: pair_dedup(t.drop_columns(["ppk"])), batch_format="pyarrow"
-        )
+        .map_batches(pair_pkey, batch_format="pyarrow"),
+        "ppk",
+        N_PAIR_PARTS,
+        lambda t: pair_dedup(t.drop_columns(["ppk"])),
     )
 
     # vectors packed to binary (Arrow's hash join rejects list payloads)

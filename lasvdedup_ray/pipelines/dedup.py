@@ -367,10 +367,15 @@ def group_key_edges(ids_ds: ray.data.Dataset, pattern: str) -> ray.data.Dataset:
             schema=PAIR_SCHEMA,
         )
 
-    return (
-        ids_ds.map_batches(keyed, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(star_edges, batch_format="pyarrow")
+    from ..stages.exchange import hash_exchange
+    from ..stages.lsh import PAIR_SCHEMA as _PS
+
+    return hash_exchange(
+        ids_ds.map_batches(keyed, batch_format="pyarrow"),
+        "pkey",
+        GROUP_KEY_PARTITIONS,
+        star_edges,
+        empty_schema=_PS,
     )
 
 

@@ -25,6 +25,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ..stages.exchange import hash_exchange
 from ..sources.readers import read_parquet_clean
 
 # ---- size-gated join planning ---------------------------------------------
@@ -516,15 +517,12 @@ def user_sessions(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return (
-        ds.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
-            lambda t: sessions_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
-        )
-        .sort("user_id")
-    )
+    return hash_exchange(
+        ds.map_batches(add_pkey, batch_format="pyarrow"),
+        "pkey",
+        SESSION_PARTITIONS,
+        lambda t: sessions_partition(t.drop_columns(["pkey"])),
+    ).sort("user_id")
 
 
 def supplier_balance_stats(sf_dir: str) -> ray.data.Dataset:
@@ -605,12 +603,12 @@ def top_orders_per_cust(sf_dir: str) -> ray.data.Dataset:
             ["o_custkey", "o_orderkey", "total_e4", "rnk"]
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(final, batch_format="pyarrow")
-        .sort(["o_custkey", "rnk"])
-    )
+    return hash_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "pkey",
+        TOPK_PARTITIONS,
+        final,
+    ).sort(["o_custkey", "rnk"])
 
 
 ANTI_PARTITIONS = 64
@@ -655,11 +653,12 @@ def customers_without_orders(sf_dir: str) -> ray.data.Dataset:
         out = left[~np.isin(left, right)]
         return pa.table({"c_custkey": pa.array(np.sort(out), pa.int64())})
 
-    out = (
-        tagged.groupby("pkey")
-        .map_groups(lambda t: anti(t.drop_columns(["pkey"])), batch_format="pyarrow")
-        .materialize()  # final slim key column only (8 B/row)
-    )
+    out = hash_exchange(
+        tagged,
+        "pkey",
+        ANTI_PARTITIONS,
+        lambda t: anti(t.drop_columns(["pkey"])),
+    ).materialize()  # final slim key column only (8 B/row)
     # all-blocks-empty results are schemaless in Ray 2.49 (map_groups and
     # to_pandas drop the schema of 0-row outputs); return the typed empty
     # Arrow table directly so consumers still see the column
@@ -831,13 +830,13 @@ def distinct_users_daily(sf_dir: str) -> ray.data.Dataset:
         )
 
     agg = (
-        ds.map_batches(local_distinct, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(local_distinct, batch_format="pyarrow"),
+            "pkey",
+            DISTINCT_PARTITIONS,
             lambda t: count_partition(
                 t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
             ),
-            batch_format="pyarrow",
         )
         .groupby(["event_type", "day_s"])
         .aggregate(Sum("part_n", alias_name="distinct_users"))
@@ -909,13 +908,13 @@ def event_debounce(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(add_pkey, batch_format="pyarrow"),
+            "pkey",
+            SESSION_PARTITIONS,
             lambda t: debounce_partition(
                 t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
             ),
-            batch_format="pyarrow",
         )
         .sort(["user_id", "event_type", "ts_s", "event_id"])
     )
@@ -996,11 +995,11 @@ def event_funnel(sf_dir: str) -> ray.data.Dataset:
         )
     )
     agg = (
-        ds.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(add_pkey, batch_format="pyarrow"),
+            "pkey",
+            FUNNEL_PARTITIONS,
             lambda t: funnel_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .union(seed)
         .groupby("stage")
@@ -1169,11 +1168,11 @@ def cohort_retention(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(add_pkey, batch_format="pyarrow"),
+            "pkey",
+            RETENTION_PARTITIONS,
             lambda t: retention_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .groupby(["cohort_day_s", "day_offset"])
         .aggregate(Sum("n_users", alias_name="n_users"))

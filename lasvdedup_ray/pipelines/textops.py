@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
+from ..stages.exchange import hash_exchange
 from ..config import SignatureConfig
 from ..functions.hashing import hamming64, sha256_bytes, sha256_column
 from ..functions.text import (
@@ -508,13 +509,13 @@ def incremental_dedup_docs(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(tag, batch_format="pyarrow"),
+            "pkey",
+            INCR_PARTITIONS,
             lambda t: anti_collapse(
                 t.drop_columns(["pkey"]) if "pkey" in t.column_names else t
             ),
-            batch_format="pyarrow",
         )
         .sort("doc_id")
     )
@@ -660,10 +661,11 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
     from .relational import _join_partitions
 
     kept = (
-        ds.map_batches(span_keys, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
-            lambda t: winners(t.drop_columns(["pkey"])), batch_format="pyarrow"
+        hash_exchange(
+            ds.map_batches(span_keys, batch_format="pyarrow"),
+            "pkey",
+            SPAN_PARTITIONS,
+            lambda t: winners(t.drop_columns(["pkey"])),
         )
         .map_batches(
             lambda t: t.append_column(
@@ -943,12 +945,12 @@ def ngram_jaccard_pairs(
         )
 
     emitted = (
-        ds.map_batches(shingles_with_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
-            lambda t: emit_partition(t.drop_columns(["pkey"])), batch_format="pyarrow"
-        )
-        .materialize()
+        hash_exchange(
+            ds.map_batches(shingles_with_pkey, batch_format="pyarrow"),
+            "pkey",
+            NGRAM_PARTITIONS,
+            lambda t: emit_partition(t.drop_columns(["pkey"])),
+        ).materialize()
     )
 
     def _filter_kind(pred):
@@ -1009,10 +1011,11 @@ def ngram_jaccard_pairs(
         )
 
     inter = (
-        emitted.map_batches(pair_pkey, batch_format="pyarrow")
-        .groupby("ppk")
-        .map_groups(
-            lambda t: pair_reduce(t.drop_columns(["ppk"])), batch_format="pyarrow"
+        hash_exchange(
+            emitted.map_batches(pair_pkey, batch_format="pyarrow"),
+            "ppk",
+            NGRAM_PARTITIONS,
+            lambda t: pair_reduce(t.drop_columns(["ppk"])),
         )
     )
 
@@ -1659,11 +1662,11 @@ def dup_rate_by_source(sf_dir: str) -> ray.data.Dataset:
         )
 
     agg = (
-        ds.map_batches(sha_rows, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(sha_rows, batch_format="pyarrow"),
+            "pkey",
+            P,
             lambda t: dup_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .groupby("source")
         .aggregate(
@@ -1788,13 +1791,13 @@ def tfidf_source_terms(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        cells.map_batches(tok_pkey, batch_format="pyarrow")
-        .groupby("dfp")
-        .map_groups(
+        hash_exchange(
+            cells.map_batches(tok_pkey, batch_format="pyarrow"),
+            "dfp",
+            TFIDF_DF_PARTITIONS,
             lambda t: score_partition(
                 t.drop_columns(["dfp"]) if "dfp" in t.column_names else t
             ),
-            batch_format="pyarrow",
         )
         .groupby("source")
         .map_groups(topk, batch_format="pyarrow")

@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ..stages.exchange import hash_exchange
 from ..sources.readers import read_parquet_clean
 
 WINDOW_PARTITIONS = 64
@@ -115,11 +116,11 @@ def user_rolling_value(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(_add_pkey, batch_format="pyarrow"),
+            "pkey",
+            WINDOW_PARTITIONS,
             lambda t: rolling_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .sort("event_id")
     )
@@ -192,11 +193,11 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(_add_pkey, batch_format="pyarrow"),
+            "pkey",
+            WINDOW_PARTITIONS,
             lambda t: asof_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .sort("event_id")
     )
@@ -296,11 +297,11 @@ def purchase_click_window_join(sf_dir: str) -> ray.data.Dataset:
         )
 
     return (
-        ds.map_batches(_add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(
+        hash_exchange(
+            ds.map_batches(_add_pkey, batch_format="pyarrow"),
+            "pkey",
+            WINDOW_PARTITIONS,
             lambda t: window_partition(t.drop_columns(["pkey"])),
-            batch_format="pyarrow",
         )
         .sort("event_id")
     )

@@ -405,4 +405,5 @@ def classify_clusters(
         "pkey",
         n_parts,
         make_partition_classifier(config),
+        empty_schema=RESULT_SCHEMA,
     )

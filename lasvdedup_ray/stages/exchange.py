@@ -8,16 +8,19 @@ flagship (the dominant term in the 8->32 scaling gap once the per-pair
 compare was fixed).  For keys that are ALREADY a hash residue in
 ``[0, num_partitions)`` (the engine's ``pkey`` columns), none of that
 machinery is needed: this helper splits each upstream block into
-``num_partitions`` sub-tables (one task per block, ``num_returns=P``) and
-runs one reduce task per partition over its sub-tables — two scheduling
-waves, no sampling pass, no sort.
+``num_partitions`` sub-tables (one task per block, ``num_returns=P+1``;
+the extra return is the per-partition row-count vector) and runs one
+reduce task per NON-EMPTY partition over its sub-tables — two scheduling
+waves, no sampling pass, no sort.  Partitions with zero rows are skipped
+entirely, matching ``groupby`` semantics (a reduce fn is never invoked
+on an empty group), so reducers need no empty-input guard.
 
 Partitioning assumption (document per SURVEY): every row with the same
 ``pkey`` value lands in exactly ONE reduce call — identical to the
 ``groupby(pkey).map_groups`` contract — because pkey p goes to reduce p
-verbatim.  Reduce functions that only need co-location (the LSH pair
-emitter sorts its partition internally; the hot-key counter counts per
-ckey) are drop-in.
+verbatim.  Reducers that only need co-location (the LSH pair emitter
+sorts its partition internally; per-user session folds see every row of
+their users) are drop-in.
 
 On a multi-node cluster this is exactly a hash shuffle (what Ray's
 ``ShuffleStrategy.HASH_SHUFFLE`` runs internally); the Dataset-API
@@ -25,6 +28,10 @@ version (``repartition(keys=...)``) is not used because the strategy flag
 is consulted at execution time from a context shared across the whole
 lineage, and flipping it would silently re-plan every other groupby in
 the same execution (measured: aggregator-actor deadlock at 8 CPUs).
+
+The counts sync costs one driver round-trip of tiny int vectors but adds
+no critical-path time: every reduce already waits on every split (each
+needs its sliver of every block).
 
 Scale note: object count is ``num_blocks x num_partitions`` slivers; at
 600k files (75 blocks x 32 partitions) that is 2,400 plasma objects of
@@ -45,26 +52,29 @@ import ray.data
 
 @ray.remote
 def _split_by_pkey(block: pa.Table, pkey_col: str, num_partitions: int):
-    """One upstream block -> ``num_partitions`` sub-tables (num_returns=P)."""
+    """One upstream block -> ``num_partitions`` sub-tables plus the
+    per-partition row-count vector (num_returns = P + 1)."""
+    counts = np.zeros(num_partitions, dtype=np.int64)
+    if block.num_rows == 0 or pkey_col not in block.column_names:
+        # Ray Data normalizes empty map outputs to SCHEMALESS 0-row blocks
+        # (no columns at all); they carry no rows for any partition
+        out = [block] * num_partitions
+        out.append(counts)
+        return tuple(out) if num_partitions > 0 else (counts,)
     pk = block[pkey_col].to_numpy(zero_copy_only=False).astype(np.int64)
     out = []
     for p in range(num_partitions):
-        out.append(block.filter(pa.array(pk == p)))
-    if num_partitions == 1:
-        # num_returns=1 treats a tuple return as THE single value
-        return out[0]
+        sub = block.filter(pa.array(pk == p))
+        counts[p] = sub.num_rows
+        out.append(sub)
+    out.append(counts)
     return tuple(out)
 
 
 @ray.remote
-def _reduce_partition(fn, empty_schema: Optional[pa.Schema], *subs: pa.Table):
+def _reduce_partition(fn, *subs: pa.Table):
     tables = [s for s in subs if s.num_rows]
-    if tables:
-        part = pa.concat_tables(tables)
-    elif subs:
-        part = subs[0]
-    else:
-        part = (empty_schema or pa.schema([])).empty_table()
+    part = pa.concat_tables(tables) if tables else subs[0]
     return fn(part)
 
 
@@ -77,26 +87,34 @@ def hash_exchange(
 ) -> ray.data.Dataset:
     """``groupby(pkey).map_groups(reduce_fn)`` for an integer pkey in
     ``[0, num_partitions)``, as a two-wave raw-Ray exchange (no sort
-    barrier).  ``reduce_fn`` receives ONE Arrow table holding every row of
-    its pkey (row order = upstream block order, not sorted — reducers that
-    need an order must sort internally, as the LSH emitter already does).
-    ``empty_schema``: schema for the result of a reduce over zero rows
-    when the upstream dataset itself is empty."""
+    barrier).  ``reduce_fn`` receives ONE non-empty Arrow table holding
+    every row of its pkey (row order = upstream block order, not sorted —
+    reducers that need an order must sort internally, as the LSH emitter
+    already does); it is never called on an empty partition.
+    ``empty_schema``: schema of the typed empty RESULT returned when the
+    upstream has no rows at all (None -> a zero-block dataset, matching
+    groupby's schemaless-empty behavior)."""
     refs = ds.to_arrow_refs()
     if not refs:
+        parts_lists: list = []
+    else:
+        parts_lists = [
+            _split_by_pkey.options(num_returns=num_partitions + 1).remote(
+                r, pkey_col, num_partitions
+            )
+            for r in refs
+        ]
+    if parts_lists:
+        totals = np.sum(ray.get([row[num_partitions] for row in parts_lists]), axis=0)
+        live = [p for p in range(num_partitions) if totals[p] > 0]
+    else:
+        live = []
+    if not live:
         if empty_schema is not None:
-            return ray.data.from_arrow(reduce_fn(empty_schema.empty_table()))
-        return ds
-    parts = [
-        _split_by_pkey.options(num_returns=num_partitions).remote(
-            r, pkey_col, num_partitions
-        )
-        for r in refs
-    ]
-    if num_partitions == 1:
-        parts = [[p] for p in parts]
+            return ray.data.from_arrow(empty_schema.empty_table())
+        return ray.data.from_arrow_refs([])
     out_refs = [
-        _reduce_partition.remote(reduce_fn, empty_schema, *[row[p] for row in parts])
-        for p in range(num_partitions)
+        _reduce_partition.remote(reduce_fn, *[row[p] for row in parts_lists])
+        for p in live
     ]
     return ray.data.from_arrow_refs(out_refs)

@@ -954,6 +954,7 @@ def _banded_pairs(
         "pkey",
         num_partitions,
         make_partition_pair_emitter(sig_cfg, lsh_cfg, tau, sig_store_ref=sig_store_ref),
+        empty_schema=PAIR_SCHEMA,
     )
     if dedup_pairs:
         # canonical-band emission already reduces multiplicity to ~1; this

@@ -440,11 +440,15 @@ class NearDupIndex:
             # sees one schema (no mixed-RefBundle warnings / re-inference)
             return OUT.empty_table() if t.num_rows == 0 else t.cast(OUT)
 
+        from ..stages.exchange import hash_exchange
+
         return (
-            keyed.groupby("ppk")
-            .map_groups(
+            hash_exchange(
+                keyed,
+                "ppk",
+                n_buckets,
                 lambda t: finish(t.drop_columns(["ppk"]), idx_ref),
-                batch_format="pyarrow",
+                empty_schema=OUT,
             )
             .map_batches(norm, batch_format="pyarrow")
             .sort("doc_id")
