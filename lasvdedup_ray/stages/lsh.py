@@ -336,20 +336,75 @@ def _build_sig_store(signed_slim: ray.data.Dataset, sig_cfg: SignatureConfig):
     return ref, sig16_sorted
 
 
+@ray.remote
+def _hot_chunk_split(sig16_chunk: np.ndarray, bands: int, rows: int, n_buckets: int):
+    """Band-hash one row chunk and range-split the combined keys by their
+    TOP bits into ``n_buckets`` sorted arrays (num_returns=n_buckets)."""
+    n = sig16_chunk.shape[0]
+    bh = band_hashes(sig16_chunk, bands, rows)
+    band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+    comb = np.sort(_hash_combine(band_idx, bh.reshape(-1)))
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+    bounds = np.searchsorted(
+        comb, np.arange(1, n_buckets, dtype=np.uint64) << shift
+    )
+    return tuple(np.split(comb, bounds))
+
+
+@ray.remote
+def _hot_bucket_merge(band_cap: int, *parts: np.ndarray):
+    """Global per-key counts within one key RANGE: sorted concat + run
+    lengths -> (hot keys sorted, capped keys sorted)."""
+    allk = np.concatenate(parts)
+    if allk.size == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e
+    allk.sort()
+    first = np.ones(allk.size, dtype=bool)
+    first[1:] = allk[1:] != allk[:-1]
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts, allk.size))
+    uniq = allk[starts]
+    return uniq[cnt >= 2], uniq[cnt > band_cap]
+
+
 def _derive_hot_sets(sig16: np.ndarray, sig_cfg: SignatureConfig, band_cap: int):
-    """Driver-side hot/capped bucket derivation from the full sig16 matrix
-    (the broadcast store already collected it): one vectorized
-    band-hash + unique pass, O(rows * bands * 8 B) transient memory —
-    size-gated by ``LSHConfig.hot_driver_cap``.  Returns the same exact
-    ("exact", sorted-keys) structure + capped key array the distributed
-    prefilter pass produces."""
+    """Hot/capped bucket derivation from the full sig16 matrix (the
+    broadcast store already collected it).  Small inputs run one
+    vectorized band-hash + unique pass on the driver; larger ones fan the
+    band hashing + counting out as a two-wave distributed unique (row
+    chunks split keys by top bits into range buckets; one merge task per
+    bucket), so the driver only concatenates the already-sorted hot-key
+    ranges — the serial pass was ~3.4 s of CPU-count-independent wall at
+    600k rows.  Returns the same exact ("exact", sorted-keys) structure +
+    capped key array either way."""
     n = sig16.shape[0]
-    bh = band_hashes(sig16, sig_cfg.bands, sig_cfg.rows)  # (n, bands)
-    band_idx = np.tile(np.arange(sig_cfg.bands, dtype=np.int64), n)
-    comb = _hash_combine(band_idx, bh.reshape(-1))
-    uniq, cnt = np.unique(comb, return_counts=True)  # sorted keys
-    hot = cnt >= 2
-    return ("exact", uniq[hot]), uniq[cnt > band_cap]
+    if n <= 100_000 or not ray.is_initialized():
+        bh = band_hashes(sig16, sig_cfg.bands, sig_cfg.rows)  # (n, bands)
+        band_idx = np.tile(np.arange(sig_cfg.bands, dtype=np.int64), n)
+        comb = _hash_combine(band_idx, bh.reshape(-1))
+        uniq, cnt = np.unique(comb, return_counts=True)  # sorted keys
+        hot = cnt >= 2
+        return ("exact", uniq[hot]), uniq[cnt > band_cap]
+    n_chunks = max(2, min(16, _cluster_cpus() // 2))
+    n_buckets = 16
+    bounds = np.linspace(0, n, n_chunks + 1, dtype=np.int64)
+    splits = [
+        _hot_chunk_split.options(num_returns=n_buckets).remote(
+            sig16[bounds[i] : bounds[i + 1]], sig_cfg.bands, sig_cfg.rows, n_buckets
+        )
+        for i in range(n_chunks)
+    ]
+    merged = ray.get(
+        [
+            _hot_bucket_merge.remote(band_cap, *[row[b] for row in splits])
+            for b in range(n_buckets)
+        ]
+    )
+    # buckets are disjoint ascending key RANGES: concatenation stays sorted
+    hot_keys = np.concatenate([m[0] for m in merged])
+    capped_keys = np.concatenate([m[1] for m in merged])
+    return ("exact", hot_keys), capped_keys
 
 
 def _make_slim_band_emitter(sig_cfg: SignatureConfig, num_partitions: int, hot_ref):

@@ -255,14 +255,25 @@ def assign_clusters(
         edges = compacted
     if not force_distributed and n_edges <= dsu_edge_limit:
         label_map = components_driver(edges) if n_edges else {}
-        ref = ray.put(label_map)
+        # ship as two Arrow string arrays, not a pickled dict: Arrow
+        # buffers travel out-of-band through plasma (zero-copy), while a
+        # dict unpickle materializes every key/value string per worker
+        # (~1 s x workers at 400k entries); the worker rebuilds the dict
+        # ONCE per process from the zero-copy arrays
+        ref = ray.put(
+            (
+                pa.array(list(label_map.keys()), pa.string()),
+                pa.array(list(label_map.values()), pa.string()),
+            )
+        )
 
         def attach(t: pa.Table) -> pa.Table:
-            # per-worker-process cache: ray.get of a big dict deserializes
-            # once per TASK otherwise (hundreds of tasks x 100ms adds up)
             if ref not in _WORKER_LABEL_CACHE:
                 _WORKER_LABEL_CACHE.clear()
-                _WORKER_LABEL_CACHE[ref] = ray.get(ref)
+                keys_arr, vals_arr = ray.get(ref)
+                _WORKER_LABEL_CACHE[ref] = dict(
+                    zip(keys_arr.to_pylist(), vals_arr.to_pylist())
+                )
             lm = _WORKER_LABEL_CACHE[ref]
             ids = t["id"].to_pylist()
             return t.append_column(
