@@ -224,10 +224,13 @@ def verify_pairs(
     """Split candidate pairs into sure / borderline; exact-verify the
     borderline slice.  Returns the verified edge list (id_a, id_b,
     est_distance) with d <= tau (inclusive boundary)."""
+    from .._phaselog import mark as _mark
+
     lsh_cfg = lsh_cfg or LSHConfig()
     # pairs feed two consumers (sure + borderline); materialize once so the
     # whole candidate-generation subplan doesn't execute twice
     pairs = pairs.materialize()
+    _mark("verify:pairs_materialize")
 
     def _safe_filter(pred):
         # empty upstream datasets can arrive schemaless: normalize to
@@ -262,6 +265,7 @@ def verify_pairs(
     # collect, replacing the previous separate count() + to_pandas() double
     # scan over the materialized pairs
     probe = border.limit(border_driver_cap + 1).to_pandas()
+    _mark("verify:border_probe")
     n_border = len(probe)
     if n_border == 0:
         return sure
@@ -279,6 +283,7 @@ def verify_pairs(
             return t.filter(pc.is_in(t["id"], value_set=ray.get(id_ref)))
 
         sub = content_by_id.map_batches(grab, batch_format="pyarrow").to_pandas()
+        _mark("verify:border_content_fetch")
         content_map = dict(zip(sub["id"], sub["content"]))
         bdf = bdf.sort_values(["id_a", "id_b"])
         border_t = pa.table(
