@@ -231,6 +231,17 @@ def verify_pairs(
     # whole candidate-generation subplan doesn't execute twice
     pairs = pairs.materialize()
     _mark("verify:pairs_materialize")
+    # compact away zero-row blocks (selective in-bucket filters leave many):
+    # a downstream map task fed ONLY empty blocks never runs its UDF and
+    # emits a SCHEMALESS bundle (the "RefBundle with a different schema"
+    # warnings), and every empty block costs a scheduled task in BOTH the
+    # sure and border passes.  Block refs move, bytes don't.
+    from ..state.unionfind import drop_empty_blocks
+
+    compact = drop_empty_blocks(pairs)
+    if compact is None:
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+    pairs = compact
 
     def _safe_filter(pred):
         # empty upstream datasets can arrive schemaless: normalize to
