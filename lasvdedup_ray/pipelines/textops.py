@@ -575,11 +575,13 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
     occurrence by (doc_id, seq), and documents are reassembled from their
     surviving spans.
 
-    Scale shape: span TEXT never rides an exchange — the winner shuffle
-    moves only (h1, h2, doc_id, seq) ~32 B rows keyed by span hash, the
-    per-doc kept-list aggregation moves (doc_id, seq), and surviving span
-    text is re-derived from the original document at reassembly (one 1:1
-    hash join of the slim kept-lists against the documents table)."""
+    Scale shape: span TEXT never rides the wide exchange — the winner
+    shuffle moves only (h1, h2, doc_id, seq) ~32 B rows keyed by span
+    hash.  Reassembly is a tagged-union co-group: slim winner rows and
+    full document rows share ONE doc_id-keyed hash exchange (doc text
+    crosses the wire exactly once, same bytes a hash join would move)
+    and surviving text is re-derived in the reducer — no join actor
+    pool, no sort barrier."""
     import pandas as _pd
 
     ds = read_parquet_clean(
@@ -628,108 +630,98 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
             schema=WINNER_SCHEMA,
         )
 
-    KEPT_SCHEMA = pa.schema([("doc_id", pa.int64()), ("kept_seqs", pa.string())])
-
-    def kept_lists(g: pa.Table) -> pa.Table:
-        # per-doc sorted kept-seq list, packed to a comma string (Arrow's
-        # hash join rejects list payload columns)
-        m = g.num_rows
-        if m == 0 or "doc_id" not in g.column_names:
-            return KEPT_SCHEMA.empty_table()
-        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        seq = g["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((seq, doc))
-        doc, seq = doc[order], seq[order]
-        first = np.ones(m, dtype=bool)
-        first[1:] = doc[1:] != doc[:-1]
-        starts = np.flatnonzero(first)
-        ends = np.append(starts[1:], m)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc[starts], pa.int64()),
-                "kept_seqs": pa.array(
-                    [
-                        ",".join(map(str, seq[s:e]))
-                        for s, e in zip(starts, ends)
-                    ],
-                    pa.string(),
-                ),
-            },
-            schema=KEPT_SCHEMA,
-        )
-
-    from .relational import _join_partitions
-
-    kept = (
-        hash_exchange(
-            ds.map_batches(span_keys, batch_format="pyarrow"),
-            "pkey",
-            SPAN_PARTITIONS,
-            lambda t: winners(t.drop_columns(["pkey"])),
-        )
-        .map_batches(
-            lambda t: t.append_column(
-                "dkey",
-                pa.array(
-                    (
-                        t["doc_id"].to_numpy(zero_copy_only=False)
-                        % SPAN_PARTITIONS
-                    ).astype(np.int32)
-                    if t.num_rows
-                    else np.empty(0, dtype=np.int32),
-                    pa.int32(),
-                ),
-            )
-            if "doc_id" in t.column_names
-            else KEPT_SCHEMA.empty_table().append_column(
-                "dkey", pa.array([], pa.int32())
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("dkey")
-        .map_groups(
-            lambda t: kept_lists(t.drop_columns(["dkey"])), batch_format="pyarrow"
-        )
+    OUT_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("clean_text", pa.string()),
+            ("n_spans", pa.int64()),
+            ("n_kept", pa.int64()),
+        ]
     )
 
-    joined = ds.join(
-        kept,
-        join_type="left_outer",
-        num_partitions=_join_partitions(),
-        on=("doc_id",),
-    )
+    def _dkey(doc: np.ndarray) -> pa.Array:
+        return pa.array((doc % SPAN_PARTITIONS).astype(np.int32), pa.int32())
 
-    def reassemble(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        texts = t["text"].to_pylist()
-        kept_s = t["kept_seqs"].to_pylist() if "kept_seqs" in t.column_names else [None] * n
-        out_text, out_spans, out_kept = [], [], []
-        for txt, ks in zip(texts, kept_s):
-            words = txt.split(" ")
-            n_spans = -(-len(words) // span_words)
-            out_spans.append(n_spans)
-            if not ks:
-                out_text.append("")
-                out_kept.append(0)
-                continue
-            seqs = [int(x) for x in ks.split(",")]
-            out_kept.append(len(seqs))
-            out_text.append(
-                " ".join(
-                    " ".join(words[s * span_words : (s + 1) * span_words])
-                    for s in seqs
-                )
-            )
+    def tag_winners(t: pa.Table) -> pa.Table:
+        # winner rows carry seq >= 0 and a null text payload
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "clean_text": pa.array(out_text, pa.string()),
-                "n_spans": pa.array(out_spans, pa.int64()),
-                "n_kept": pa.array(out_kept, pa.int64()),
+                "seq": t["seq"],
+                "text": pa.nulls(t.num_rows, pa.string()),
+                "dkey": _dkey(doc),
             }
         )
 
-    return joined.map_batches(reassemble, batch_format="pyarrow").sort("doc_id")
+    def tag_docs(t: pa.Table) -> pa.Table:
+        # document rows carry seq == -1 and the original text
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "seq": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "text": t["text"],
+                "dkey": _dkey(doc),
+            }
+        )
+
+    def cogroup(g: pa.Table) -> pa.Table:
+        # one partition holds every winner row AND every document row of
+        # its doc_id range: build per-doc kept-seq slices with searchsorted
+        # and reassemble in place — no hash-join actor pool, no sort barrier
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = g["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_doc = seq < 0
+        doc_ids = doc[is_doc]
+        texts = pc.filter(g["text"], pa.array(is_doc)).to_pylist()
+        w_doc = doc[~is_doc]
+        w_seq = seq[~is_doc]
+        order = np.lexsort((w_seq, w_doc))
+        w_doc, w_seq = w_doc[order], w_seq[order]
+        starts = np.searchsorted(w_doc, doc_ids, "left")
+        ends = np.searchsorted(w_doc, doc_ids, "right")
+        out_text, out_spans, out_kept = [], [], []
+        for txt, s, e in zip(texts, starts, ends):
+            words = txt.split(" ")
+            out_spans.append(-(-len(words) // span_words))
+            out_kept.append(int(e - s))
+            if e == s:
+                out_text.append("")
+            else:
+                out_text.append(
+                    " ".join(
+                        " ".join(words[q * span_words : (q + 1) * span_words])
+                        for q in w_seq[s:e]
+                    )
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "clean_text": pa.array(out_text, pa.string()),
+                "n_spans": pa.array(out_spans, pa.int64()),
+                "n_kept": pa.array(out_kept, pa.int64()),
+            },
+            schema=OUT_SCHEMA,
+        )
+
+    win = hash_exchange(
+        ds.map_batches(span_keys, batch_format="pyarrow"),
+        "pkey",
+        SPAN_PARTITIONS,
+        lambda t: winners(t.drop_columns(["pkey"])),
+        empty_schema=WINNER_SCHEMA,
+    )
+    merged = win.map_batches(tag_winners, batch_format="pyarrow").union(
+        ds.map_batches(tag_docs, batch_format="pyarrow")
+    )
+    return hash_exchange(
+        merged,
+        "dkey",
+        SPAN_PARTITIONS,
+        lambda t: cogroup(t.drop_columns(["dkey"])),
+        empty_schema=OUT_SCHEMA,
+    ).sort("doc_id")
 
 
 def lang_quality_summary(sf_dir: str) -> ray.data.Dataset:
