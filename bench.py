@@ -145,8 +145,12 @@ def run_bench() -> dict:
     def _touch(t):
         return _pa.table({"n": _pa.array([t.num_rows])})
 
+    from lasvdedup_ray.sources.readers import read_parquet_clean
+
     rd.read_parquet(corpus_paths).map_batches(_touch, batch_format="pyarrow").count()
-    rd.read_parquet(f"{SF_DIR}/lineitem.parquet").map_batches(
+    # clean read: the testdata footers carry pandas-metadata dicts that
+    # defeat Ray's schema dedup (the "Failed to hash the schemas" warning)
+    read_parquet_clean(f"{SF_DIR}/lineitem.parquet").map_batches(
         _touch, batch_format="pyarrow"
     ).count()
     rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
