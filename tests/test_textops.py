@@ -205,6 +205,38 @@ def test_span_dedup_docs_matches_bruteforce(doc_dir):
     assert (res["n_kept"] < res["n_spans"]).any()
 
 
+def test_span_dedup_all_spans_lost(tmp_path):
+    """An exact-duplicate doc loses EVERY span to the earlier copy: the
+    co-group reassembly must still emit its row with clean_text == '' and
+    n_kept == 0 (the left-outer semantics of the old join path)."""
+    from lasvdedup_ray.pipelines.textops import SPAN_WORDS, span_dedup_docs
+
+    base = " ".join(f"tok{i:03d}" for i in range(SPAN_WORDS * 3))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [base, base, "entirely different words here"], pa.string()
+                ),
+                "lang": pa.array(["en"] * 3, pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    res = (
+        span_dedup_docs(str(tmp_path))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(res["doc_id"]) == [1, 2, 3]
+    assert res.loc[0, "clean_text"] == base and res.loc[0, "n_kept"] == 3
+    assert res.loc[1, "clean_text"] == "" and res.loc[1, "n_kept"] == 0
+    assert res.loc[1, "n_spans"] == 3
+    assert res.loc[2, "n_kept"] == 1
+
+
 def test_incremental_dedup_planted(tmp_path):
     """Incoming (odd doc_id) docs dedup against the index (even doc_id):
     cross-parity matches drop, surviving in-batch dups collapse to
