@@ -62,11 +62,20 @@ def _split_by_pkey(block: pa.Table, pkey_col: str, num_partitions: int):
         out.append(counts)
         return tuple(out) if num_partitions > 0 else (counts,)
     pk = block[pkey_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    out = []
-    for p in range(num_partitions):
-        sub = block.filter(pa.array(pk == p))
-        counts[p] = sub.num_rows
-        out.append(sub)
+    # one stable gather + P zero-copy slices instead of P full-table filter
+    # scans (the filter loop cost O(P * rows) per block — measured ~6 s of
+    # split-wave wall at 600k files with P=128); stable argsort preserves
+    # upstream row order within each partition, keeping the documented
+    # "row order = upstream block order" reducer contract
+    order = np.argsort(pk, kind="stable")
+    sorted_block = block.take(pa.array(order, pa.int64()))
+    pk_sorted = pk[order]
+    bounds = np.searchsorted(pk_sorted, np.arange(num_partitions + 1, dtype=np.int64))
+    counts = np.diff(bounds)
+    out = [
+        sorted_block.slice(int(bounds[p]), int(counts[p]))
+        for p in range(num_partitions)
+    ]
     out.append(counts)
     return tuple(out)
 
@@ -94,7 +103,10 @@ def hash_exchange(
     ``empty_schema``: schema of the typed empty RESULT returned when the
     upstream has no rows at all (None -> a zero-block dataset, matching
     groupby's schemaless-empty behavior)."""
+    from .._phaselog import mark as _mark
+
     refs = ds.to_arrow_refs()
+    _mark(f"exchange[{pkey_col}]:upstream_exec")
     if not refs:
         parts_lists: list = []
     else:
@@ -109,6 +121,7 @@ def hash_exchange(
         live = [p for p in range(num_partitions) if totals[p] > 0]
     else:
         live = []
+    _mark(f"exchange[{pkey_col}]:split_wave")
     if not live:
         if empty_schema is not None:
             return ray.data.from_arrow(empty_schema.empty_table())
