@@ -90,15 +90,23 @@ def machine_probe() -> dict:
     signer(t)
     sign_rate = 256 / (time.time() - t0)
 
+    # raw anonymous mmap, NOT np.empty: the engine raises glibc's malloc
+    # mmap threshold (lasvdedup_ray/_alloc.py), which would silently turn a
+    # malloc'd probe buffer into reused heap pages and stop measuring the
+    # page-fault service rate this probe exists to track across rounds
+    import mmap as _mmap
+
     n = 200 * 1024 * 1024
+    raw = _mmap.mmap(-1, n)
+    buf = np.frombuffer(raw, dtype=np.uint8)
     t0 = time.time()
-    buf = np.empty(n, dtype=np.uint8)
     buf[::4096] = 1  # fault every page
     fresh = n / (time.time() - t0) / 1e9
     t0 = time.time()
     buf[::64] = 2  # touch every cache line, pages already resident
     warm = (n / 64 * 64) / (time.time() - t0) / 1e9
     del buf
+    raw.close()
     return {
         "sign_1core_files_per_sec": round(sign_rate, 1),
         "fresh_touch_gbps": round(fresh, 2),
