@@ -103,20 +103,14 @@ def dedup_pipeline(
     (missing rows rank last).  ``edges_out``: optional Parquet directory for
     the verified edge list — the scalable analog of the reference's dense
     ``.mldist`` distance-matrix sink (``io_utils.py:69-83``)."""
-    import os as _os
-    import sys as _sys
-    import time as _time
+    # scaling diagnostics only (LASVDEDUP_PHASE_LOG=1): wall time since
+    # the previous sync point, printed to stderr — no behavior change
+    from .._phaselog import mark as _plmark, reset as _plreset
 
-    _phase_log = bool(_os.environ.get("LASVDEDUP_PHASE_LOG"))
-    _t_last = [_time.time()]
+    _plreset("PHASE")
 
     def _phase(name: str) -> None:
-        # scaling diagnostics only (LASVDEDUP_PHASE_LOG=1): wall time since
-        # the previous sync point, printed to stderr — no behavior change
-        if _phase_log:
-            now = _time.time()
-            print(f"PHASE {name}: {now - _t_last[0]:.2f}s", file=_sys.stderr, flush=True)
-            _t_last[0] = now
+        _plmark(name, prefix="PHASE")
 
     config = config or PipelineConfig()
     if config.group_only and not config.group_regex:

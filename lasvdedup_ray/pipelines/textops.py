@@ -655,13 +655,18 @@ def span_dedup_docs(sf_dir: str, span_words: int = SPAN_WORDS) -> ray.data.Datas
         )
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        # document rows carry seq == -1 and the original text
+        # document rows carry seq == -1 and the original text; pin the
+        # text type to string so it concats with tag_winners' null column
+        # even when the source parquet stores large_string
         doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = t["text"]
+        if text.type != pa.string():
+            text = pc.cast(text, pa.string())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "seq": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
-                "text": t["text"],
+                "text": text,
                 "dkey": _dkey(doc),
             }
         )

@@ -51,8 +51,14 @@ def _input_bytes(paths) -> int | None:
                 for root, _dirs, files in os.walk(p):
                     for f in files:
                         total += os.path.getsize(os.path.join(root, f))
+                    # callers only ask "is it small?": stop statting a
+                    # large corpus tree once past the threshold
+                    if total > _SMALL_READ_BYTES:
+                        return total
             else:
                 return None
+            if total > _SMALL_READ_BYTES:
+                return total
     except OSError:
         return None
     return total

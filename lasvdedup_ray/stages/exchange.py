@@ -70,6 +70,14 @@ def _split_by_pkey(block: pa.Table, pkey_col: str, num_partitions: int):
     order = np.argsort(pk, kind="stable")
     sorted_block = block.take(pa.array(order, pa.int64()))
     pk_sorted = pk[order]
+    # loud failure instead of silent row loss: groupby(pkey) (which this
+    # replaces) grouped ANY key value; here a key outside
+    # [0, num_partitions) would fall outside every slice below
+    if pk_sorted[0] < 0 or pk_sorted[-1] >= num_partitions:
+        raise ValueError(
+            f"hash_exchange pkey out of range [0, {num_partitions}): "
+            f"min={pk_sorted[0]}, max={pk_sorted[-1]}"
+        )
     bounds = np.searchsorted(pk_sorted, np.arange(num_partitions + 1, dtype=np.int64))
     counts = np.diff(bounds)
     out = [

@@ -344,6 +344,12 @@ def _hot_chunk_split(sig16_chunk: np.ndarray, bands: int, rows: int, n_buckets: 
     bh = band_hashes(sig16_chunk, bands, rows)
     band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
     comb = np.sort(_hash_combine(band_idx, bh.reshape(-1)))
+    # the top-bits shift only yields monotonic disjoint ranges for
+    # power-of-two bucket counts; any other value wraps uint64 and
+    # silently unsorts the merged hot-key set (searchsorted misses)
+    assert n_buckets & (n_buckets - 1) == 0, (
+        f"_hot_chunk_split requires power-of-two n_buckets, got {n_buckets}"
+    )
     shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
     bounds = np.searchsorted(
         comb, np.arange(1, n_buckets, dtype=np.uint64) << shift

@@ -37,6 +37,7 @@ dict) below a broadcast gate identical to ``ngram_jaccard_pairs``'s.
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Optional
 
 import numpy as np
@@ -456,5 +457,23 @@ class NearDupIndex:
 
 
 def corpus_fingerprint_of(path: str, n_rows: int) -> str:
-    """Stable corpus snapshot id for the index fingerprint."""
-    return hashlib.sha256(f"{path}|{n_rows}".encode()).hexdigest()[:16]
+    """Stable corpus snapshot id for the index fingerprint.
+
+    Folds file size + mtime into the hash: a regenerated corpus at the
+    same path with the same row count (the common case — fixed per-SF
+    sizing) must NOT serve a stale index from the shared cache dir.
+    """
+    stat_sig = []
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for f in sorted(files):
+                    st = os.stat(os.path.join(root, f))
+                    stat_sig.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        else:
+            st = os.stat(path)
+            stat_sig.append(f"{st.st_size}:{st.st_mtime_ns}")
+    except OSError:
+        pass  # unstatable (remote FS): fall back to path|n_rows only
+    payload = f"{path}|{n_rows}|{';'.join(stat_sig)}"
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]

@@ -127,3 +127,22 @@ def test_all_empty_with_schema(ray_session):
     # dataset schema + count instead
     assert out.count() == 0
     assert out.schema().names == ["n"]
+
+
+def test_out_of_range_pkey_raises(ray_session):
+    # groupby(pkey) grouped any key value; hash_exchange's contract is
+    # pkey in [0, P) — a key outside that range must FAIL LOUDLY rather
+    # than silently dropping the row from every partition slice
+    t = pa.table(
+        {
+            "pkey": pa.array([0, 1, 7], pa.int32()),  # 7 >= P=4
+            "v": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+
+    def fn(g):
+        return g
+
+    with pytest.raises(Exception, match="pkey out of range"):
+        hash_exchange(ds, "pkey", 4, fn).materialize()

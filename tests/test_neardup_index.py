@@ -97,3 +97,21 @@ def test_df_cap_applies_to_index_only(tmp_path):
     idx.build(corpus)
     r = idx.probe(_docs([99], [boiler])).to_pandas()
     assert len(r) == 0
+
+
+def test_corpus_fingerprint_tracks_file_mutation(tmp_path):
+    # same path + same row count but different bytes/mtime must yield a
+    # DIFFERENT fingerprint — a regenerated corpus at a fixed per-SF size
+    # must not be served a stale index from the shared cache dir
+    import os
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.state.neardup_index import corpus_fingerprint_of
+
+    p = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["aa", "bb"]}), p)
+    fp1 = corpus_fingerprint_of(p, 2)
+    pq.write_table(pa.table({"doc_id": [1, 2], "text": ["cc", "dd"]}), p)
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on coarse clocks
+    fp2 = corpus_fingerprint_of(p, 2)
+    assert fp1 != fp2
