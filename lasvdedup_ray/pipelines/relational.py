@@ -82,7 +82,15 @@ def quantize(t: pa.Table, cols, scale: int = 10_000, suffix: str = "_e4") -> pa.
 
 def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape: filtered scan -> grouped aggregate.
-    Columns pruned at the read; revenue derived vectorized per batch."""
+    Columns pruned at the read; revenue derived vectorized per batch.
+
+    The aggregate is a map-side COMBINER (Arrow group_by per batch — at
+    most 6 partial rows leave each block) + one tiny grouped-sum exchange;
+    source rows never cross a shuffle and no Ray Aggregate operator runs
+    (its schemaless empty reduce partitions diverge downstream bundle
+    schemas when groups < partitions)."""
+    from ..stages.exchange import grouped_sum_exchange
+
     ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
@@ -91,29 +99,54 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         ],
     )
     cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+    KEYS = ["l_returnflag", "l_linestatus"]
+    SUMS = ["sum_qty", "sum_base_price", "sum_disc_price"]
 
-    def derive(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
         disc_price = pc.multiply(
             t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
         )
-        return t.append_column("disc_price", disc_price)
-
-    agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
+        g = (
+            t.append_column("disc_price", disc_price)
+            .select(KEYS + ["l_quantity", "l_extendedprice", "disc_price"])
+            .group_by(KEYS)
+            .aggregate(
+                [
+                    ("l_quantity", "sum"),
+                    ("l_extendedprice", "sum"),
+                    ("disc_price", "sum"),
+                    ([], "count_all"),
+                ]
+            )
         )
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"],
+                "l_linestatus": g["l_linestatus"],
+                "sum_qty": g["l_quantity_sum"],
+                "sum_base_price": g["l_extendedprice_sum"],
+                "sum_disc_price": g["disc_price_sum"],
+                "count_order": g["count_all"],
+            }
+        )
+
+    agg = grouped_sum_exchange(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        keys=KEYS,
+        sum_cols=SUMS,
+        count_col="count_order",
     )
-    return agg.map_batches(
-        lambda t: quantize(t, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]),
-        batch_format="pyarrow",
-    ).sort(["l_returnflag", "l_linestatus"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(t["sum_qty"], pa.float64()),
+            pc.cast(t["count_order"], pa.float64()),
+        )
+        t = t.append_column("avg_qty", avg)
+        return quantize(t, SUMS + ["avg_qty"])
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(KEYS)
 
 
 def q3_top_orders(
@@ -261,11 +294,7 @@ def q5_nation_revenue(
                 }
             )
 
-        agg = (
-            li.map_batches(partial, batch_format="pyarrow")
-            .groupby("n_name")
-            .aggregate(Sum("prev", alias_name="revenue"))
-        )
+        nat_partials = li.map_batches(partial, batch_format="pyarrow")
     else:
         # distributed plan: shrink the fact first (per-order pre-aggregate),
         # then two hash joins with an aggregate between them (the aggregate
@@ -323,14 +352,19 @@ def q5_nation_revenue(
                 }
             )
 
-        agg = (
-            rev_by_nat.map_batches(attach_name, batch_format="pyarrow")
-            .groupby("n_name")
-            .aggregate(Sum("prev", alias_name="revenue"))
-        )
-    return agg.map_batches(
-        lambda t: quantize(t, ["revenue"]), batch_format="pyarrow"
-    ).sort("n_name")
+        nat_partials = rev_by_nat.map_batches(attach_name, batch_format="pyarrow")
+
+    # both plans emit tiny (n_name, prev) partials — one grouped-sum
+    # exchange replaces the 25-group Ray Aggregate (see q1 docstring)
+    from ..stages.exchange import grouped_sum_exchange
+
+    agg = grouped_sum_exchange(nat_partials, keys=["n_name"], sum_cols=["prev"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["n_name", "revenue"])
+        return quantize(t, ["revenue"])
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("n_name")
 
 
 def events_by_type(sf_dir: str) -> ray.data.Dataset:

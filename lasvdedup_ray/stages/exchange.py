@@ -139,3 +139,65 @@ def hash_exchange(
         for p in live
     ]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def grouped_sum_exchange(
+    ds: ray.data.Dataset,
+    keys: list,
+    sum_cols: list,
+    count_col: Optional[str] = None,
+    num_partitions: int = 8,
+    empty_schema: Optional[pa.Schema] = None,
+) -> ray.data.Dataset:
+    """Final reduce of per-batch PARTIAL sums: one small hash exchange on a
+    key-derived pkey, Arrow ``group_by`` inside each partition.
+
+    Why not ``groupby(keys).aggregate(Sum(...))``: Ray's sort-based
+    Aggregate emits one block per reduce partition INCLUDING schemaless
+    zero-row blocks when distinct groups < partitions — those bundles
+    diverge every downstream operator's tracked schema (the "RefBundle
+    with a different schema" warning on every tiny grouped aggregate) and
+    defeat bundle-schema dedup.  This path only ever emits typed non-empty
+    bundles, and it presumes the caller already combined map-side, so the
+    rows crossing the exchange are O(groups per block), not source rows.
+
+    ``ds`` blocks must hold partial rows: ``keys`` + float/int ``sum_cols``
+    (+ an int ``count_col`` of partial row counts).  The per-row Python
+    key hash below is fine precisely because inputs are post-combiner
+    (a handful of rows per block).
+    """
+    import zlib
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("pkey", pa.array([], pa.int32()))
+        parts = [t[k].cast(pa.string()).to_pylist() for k in keys]
+        h = np.fromiter(
+            (zlib.crc32("\x1f".join(vs).encode()) for vs in zip(*parts)),
+            dtype=np.uint32,
+            count=t.num_rows,
+        )
+        return t.append_column(
+            "pkey", pa.array((h % num_partitions).astype(np.int32), pa.int32())
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["pkey"])
+        aggs = [(c, "sum") for c in sum_cols]
+        if count_col:
+            aggs.append((count_col, "sum"))
+        g = t.group_by(keys).aggregate(aggs)
+        cols = {k: g[k] for k in keys}
+        for c in sum_cols:
+            cols[c] = g[c + "_sum"]
+        if count_col:
+            cols[count_col] = g[count_col + "_sum"]
+        return pa.table(cols)
+
+    return hash_exchange(
+        ds.map_batches(add_pkey, batch_format="pyarrow"),
+        "pkey",
+        num_partitions,
+        reduce_fn,
+        empty_schema=empty_schema,
+    )

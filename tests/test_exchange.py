@@ -146,3 +146,62 @@ def test_out_of_range_pkey_raises(ray_session):
 
     with pytest.raises(Exception, match="pkey out of range"):
         hash_exchange(ds, "pkey", 4, fn).materialize()
+
+
+def test_grouped_sum_exchange_matches_groupby(ray_session):
+    from lasvdedup_ray.stages.exchange import grouped_sum_exchange
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    t = pa.table(
+        {
+            "k1": pa.array(rng.choice(["a", "b", "c"], n).tolist(), pa.string()),
+            "k2": pa.array(rng.choice(["x", "y"], n).tolist(), pa.string()),
+            "v": pa.array(rng.standard_normal(n), pa.float64()),
+            "cnt": pa.array(np.ones(n, np.int64), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(7)
+    # map-side combiner, then the exchange
+    def combine(b):
+        import pyarrow as _pa
+
+        g = b.group_by(["k1", "k2"]).aggregate([("v", "sum"), ("cnt", "sum")])
+        return _pa.table(
+            {"k1": g["k1"], "k2": g["k2"], "v": g["v_sum"], "cnt": g["cnt_sum"]}
+        )
+
+    out = (
+        grouped_sum_exchange(
+            ds.map_batches(combine, batch_format="pyarrow"),
+            keys=["k1", "k2"],
+            sum_cols=["v"],
+            count_col="cnt",
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        t.to_pandas()
+        .groupby(["k1", "k2"], as_index=False)
+        .agg(v=("v", "sum"), cnt=("cnt", "sum"))
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    assert out["cnt"].tolist() == ref["cnt"].tolist()
+    assert np.allclose(out["v"].to_numpy(), ref["v"].to_numpy())
+
+
+def test_grouped_sum_exchange_empty_input(ray_session):
+    from lasvdedup_ray.stages.exchange import grouped_sum_exchange
+
+    t = pa.table(
+        {"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())}
+    )
+    schema = pa.schema([("k", pa.string()), ("v", pa.float64())])
+    out = grouped_sum_exchange(
+        rd.from_arrow(t), keys=["k"], sum_cols=["v"], empty_schema=schema
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["k", "v"]
