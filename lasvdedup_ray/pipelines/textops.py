@@ -155,8 +155,13 @@ def incremental_index_neardup(
     ds = read_parquet_clean(path, columns=["doc_id", "text"])
     n = ds.count()  # parquet metadata only
     fp = corpus_fingerprint_of(os.path.abspath(path), n)
+    # uid-scoped cache root: on a multi-user host a shared /tmp path would
+    # either PermissionError on another user's dir or trust files another
+    # user wrote; concurrent same-user builders are handled by the
+    # per-process tmp + atomic rename inside StageCheckpointer.pin
+    uid = getattr(os, "getuid", lambda: "na")()
     index_dir = os.path.join(
-        tempfile.gettempdir(), "lasvdedup_neardup_index", fp
+        tempfile.gettempdir(), f"lasvdedup_neardup_index_u{uid}", fp
     )
 
     def parity(want: int):

@@ -55,7 +55,15 @@ def _split_by_pkey(block: pa.Table, pkey_col: str, num_partitions: int):
     """One upstream block -> ``num_partitions`` sub-tables plus the
     per-partition row-count vector (num_returns = P + 1)."""
     counts = np.zeros(num_partitions, dtype=np.int64)
-    if block.num_rows == 0 or pkey_col not in block.column_names:
+    if pkey_col not in block.column_names and block.num_rows > 0:
+        # loud failure, matching the out-of-range check below: a NON-empty
+        # block without the pkey column would otherwise reach no reducer
+        # and its rows would silently vanish from the result
+        raise ValueError(
+            f"hash_exchange: non-empty block is missing pkey column "
+            f"{pkey_col!r} (columns: {block.column_names})"
+        )
+    if block.num_rows == 0:
         # Ray Data normalizes empty map outputs to SCHEMALESS 0-row blocks
         # (no columns at all); they carry no rows for any partition
         out = [block] * num_partitions
@@ -171,9 +179,17 @@ def grouped_sum_exchange(
     def add_pkey(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.append_column("pkey", pa.array([], pa.int32()))
+        # null keys map to a sentinel so they co-locate in one partition
+        # (Arrow's in-partition group_by then groups them as their own
+        # group, matching the Ray groupby semantics this path replaces)
         parts = [t[k].cast(pa.string()).to_pylist() for k in keys]
         h = np.fromiter(
-            (zlib.crc32("\x1f".join(vs).encode()) for vs in zip(*parts)),
+            (
+                zlib.crc32(
+                    "\x1f".join("\x00<null>" if v is None else v for v in vs).encode()
+                )
+                for vs in zip(*parts)
+            ),
             dtype=np.uint32,
             count=t.num_rows,
         )

@@ -116,9 +116,10 @@ def parse_y4m(b: bytes) -> Tuple[int, int, int, int, np.ndarray]:
     if n_frames * stride != len(body):
         raise ValueError("Y4M payload truncated or has FRAME parameters")
     raw = np.frombuffer(body, dtype=np.uint8).reshape(n_frames, stride)
-    if not all(
-        bytes(raw[i, : len(marker)]) == marker for i in range(n_frames)
-    ):
+    # one vectorized compare over all markers (a per-frame Python loop was
+    # the only O(n_frames) Python work in an otherwise zero-copy parser)
+    want = np.frombuffer(marker, dtype=np.uint8)
+    if not (raw[:, : len(marker)] == want).all():
         raise ValueError("Y4M FRAME markers malformed")
     return w, h, num, den, raw[:, len(marker) :]
 
@@ -191,7 +192,8 @@ class MediaFeatureExtractor:
             )
         w, h, num, den, frames = parse_y4m(p)
         self._last_dims = (w, h)
-        return num // den, frames.reshape(-1)
+        # round-half, not floor: NTSC F30000:1001 reports 30, not 29
+        return int(round(num / den)), frames.reshape(-1)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t["payload"].to_pylist()

@@ -52,7 +52,7 @@ class StageCheckpointer:
     def _mark_done(self, name: str) -> None:
         m = self._manifest()
         m[name] = {"done": True, "fingerprint": self.fp}
-        tmp = self._manifest_path + ".tmp"
+        tmp = f"{self._manifest_path}.tmp.{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(m, f)
         os.replace(tmp, self._manifest_path)  # atomic
@@ -100,12 +100,22 @@ class StageCheckpointer:
         final = os.path.join(self.dir, name)
         if self.is_done(name):
             return read_parquet_clean(final)
-        tmp = final + ".tmp"
+        # per-process tmp suffix: two concurrent builders of the same stage
+        # (e.g. two ingest jobs racing on a shared index) must not rmtree
+        # each other's in-progress writes; each writes its own tmp and the
+        # first atomic rename wins
+        tmp = f"{final}.tmp.{os.getpid()}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         ds.write_parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
-        os.replace(tmp, final)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            # a concurrent builder completed between the rmtree and the
+            # rename; its result is equivalent (same manifest fingerprint
+            # gates this path) — keep it, drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
         self._mark_done(name)
         return read_parquet_clean(final)

@@ -205,3 +205,39 @@ def test_grouped_sum_exchange_empty_input(ray_session):
     )
     assert out.count() == 0
     assert out.schema().names == ["k", "v"]
+
+
+def test_missing_pkey_column_raises(ray_session):
+    # a NON-empty block without the pkey column must fail loudly: its rows
+    # would otherwise reach no reducer and silently vanish
+    t = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+
+    def fn(g):
+        return g
+
+    with pytest.raises(Exception, match="missing pkey column"):
+        hash_exchange(ds, "pkey", 4, fn).materialize()
+
+
+def test_grouped_sum_exchange_null_keys(ray_session):
+    """Null group-key values form their own group (parity with the Ray
+    groupby().aggregate() this path replaces) instead of crashing the
+    key-hash join."""
+    from lasvdedup_ray.stages.exchange import grouped_sum_exchange
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", None, "a", None, "b"], pa.string()),
+            "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0], pa.float64()),
+        }
+    )
+    out = (
+        grouped_sum_exchange(rd.from_arrow(t), keys=["k"], sum_cols=["v"])
+        .to_pandas()
+        .sort_values("k", na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert out["v"].tolist()[:2] == [4.0, 5.0]  # a=4, b=5
+    assert out["v"].iloc[2] == 6.0 and out["k"].isna().iloc[2]
