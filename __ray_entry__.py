@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_neardup_docs": textops.incremental_neardup_docs,
         # NEW r5: incremental near-dup through the persisted shingle index
         "incremental_index_neardup": textops.incremental_index_neardup,
+        # NEW r5: DSIR data-selection importance weights
+        "dsir_weights": curation.dsir_weights,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -378,6 +380,71 @@ def _repetition_sql() -> str:
         JOIN per_uline pu ON d.doc_id = pu.doc_id
         LEFT JOIN per_tok pt ON d.doc_id = pt.doc_id
         ORDER BY d.doc_id
+    """
+
+
+def _dsir_sql() -> str:
+    """Mirror of curation.dsir_weights (DSIR, arXiv:2302.03169): identical
+    tokenization (string_split of lower(text) on ' '), identical
+    unigram+bigram feature set, the engine's rolling-polynomial +
+    splitmix64 hash chain rebuilt character-wise from the SAME constants
+    (powers table generated from _POLY_MULT), identical add-one smoothing
+    and float expression order, e6 quantization BEFORE the per-doc sum so
+    the document weights are integer-exact on both engines."""
+    from lasvdedup_ray.functions.hashing import _POLY_MULT
+    from lasvdedup_ray.pipelines.curation import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    MAXP = 520  # max feature byte length the powers table covers (oracle scale)
+    pows = ", ".join(
+        f"{pow(int(_POLY_MULT), e, _M64)}::HUGEINT" for e in range(MAXP)
+    )
+    m, a = DSIR_BUCKETS, float(DSIR_ALPHA)
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(ts) AS f FROM tk),
+        bi0 AS (SELECT doc_id, lang, ts,
+                       unnest(generate_series(1, len(ts) - 1)) AS i FROM tk),
+        bi AS (SELECT doc_id, lang, ts[i] || ' ' || ts[i+1] AS f FROM bi0),
+        feats AS (
+            SELECT doc_id, lang, f FROM uni
+            UNION ALL SELECT doc_id, lang, f FROM bi
+        ),
+        uf AS (SELECT DISTINCT f FROM feats),
+        pw AS (SELECT unnest(generate_series(0, {MAXP - 1})) AS e,
+                      unnest([{pows}]) AS p),
+        ufc AS (SELECT f, unnest(generate_series(1, length(f))) AS j
+                FROM uf WHERE length(f) > 0),
+        pr AS (SELECT f,
+                      sum(ord(substr(f, j::INTEGER, 1))::HUGEINT * pw.p)
+                          % {_M64} AS z
+               FROM ufc JOIN pw ON pw.e = length(ufc.f) - ufc.j GROUP BY f),
+        p0 AS (SELECT f, z FROM pr
+               UNION ALL SELECT f, 0::HUGEINT AS z FROM uf WHERE length(f) = 0),
+        {_sm64_ctes("p0", "f")},
+        fb AS (SELECT f, CAST(z % {m} AS BIGINT) AS b FROM smx),
+        cnt AS (SELECT b,
+                       count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct,
+                       count(*) AS cr
+                FROM feats JOIN fb USING (f) GROUP BY b),
+        tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+        lrt AS (SELECT b,
+                       CAST(round((ln(CAST(ct AS DOUBLE) + {a})
+                                   - ln(CAST(nt AS DOUBLE) + {float(m)})
+                                   - ln(CAST(cr AS DOUBLE) + {a})
+                                   + ln(CAST(nr AS DOUBLE) + {float(m)}))
+                                  * 1000000) AS BIGINT) AS lr_e6
+                FROM cnt, tot)
+        SELECT doc_id, count(*) AS n_feats,
+               CAST(sum(lr_e6) AS BIGINT) AS dsir_logratio_e6
+        FROM feats JOIN fb USING (f) JOIN lrt USING (b)
+        GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -1542,6 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": _pii_sql(),
         "repetition_stats_docs": _repetition_sql(),
         "hash_sample_stratified": _hash_sample_sql(),
+        "dsir_weights": _dsir_sql(),
         "pack_sequences": _pack_sql(),
         "quality_classifier_docs": _quality_classifier_sql(),
         "customers_without_orders": """

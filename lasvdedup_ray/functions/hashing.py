@@ -91,6 +91,62 @@ def sha256_column(col) -> List[bytes]:
     return [d(mv[s:e]).digest() for s, e in zip(lo, hi)]
 
 
+def token_poly_hashes(flat) -> np.ndarray:
+    """Raw (un-finalized) rolling-polynomial hash per row of a string /
+    large_string array: ``z = sum(byte_j * MULT^(L-1-j)) mod 2^64`` over the
+    row's utf-8 bytes; the empty string hashes to 0.  Finalize with
+    :func:`splitmix64` before bucketing.
+
+    Vectorized by grouping rows by byte length (one ``(n_L, L)`` gather +
+    matmul-style reduce per distinct length — word tokens have only a
+    handful of distinct lengths), reading straight from the Arrow values
+    buffer like :func:`sha256_column` — no per-row Python strings.
+
+    The SQL oracle mirror computes the same sum from ``ord(substr(...))``
+    per character, so (as with the shingle chain) ASCII content is assumed:
+    a multi-byte codepoint's ``ord`` differs from its per-byte polynomial.
+    Nulls are rejected for the same reason as :func:`sha256_column`.
+    """
+    import pyarrow as pa
+
+    if isinstance(flat, pa.ChunkedArray):
+        parts = [token_poly_hashes(ch) for ch in flat.chunks]
+        return np.concatenate(parts) if parts else np.zeros(0, U64)
+    n = len(flat)
+    if n == 0:
+        return np.zeros(0, U64)
+    if flat.null_count:
+        raise ValueError("token_poly_hashes: null rows are not hashable")
+    bufs = flat.buffers()
+    wide = pa.types.is_large_string(flat.type) or pa.types.is_large_binary(flat.type)
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if wide else np.int32)[
+        flat.offset : flat.offset + n + 1
+    ].astype(np.int64, copy=False)
+    starts = offs[:-1]
+    lens = offs[1:] - offs[:-1]
+    out = np.zeros(n, U64)
+    if bufs[2] is None:  # all rows empty
+        return out
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    for L in np.unique(lens):
+        if L == 0:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        mat = data[starts[idx][:, None] + np.arange(L)].astype(U64)
+        pows = _POLY_MULT ** np.arange(L - 1, -1, -1, dtype=U64)
+        out[idx] = (mat * pows).sum(axis=1, dtype=U64)
+    return out
+
+
+def poly_concat(h_left: np.ndarray, h_right: np.ndarray, right_len: np.ndarray) -> np.ndarray:
+    """``token_poly_hashes`` of the byte concatenation left||right, from the
+    parts' raw hashes: ``H(a||b) = H(a) * MULT^len(b) + H(b)  (mod 2^64)``.
+    ``right_len`` is the RIGHT part's byte length."""
+    maxl = int(right_len.max()) if len(right_len) else 0
+    ptab = _POLY_MULT ** np.arange(maxl + 1, dtype=U64)
+    return h_left * ptab[right_len] + h_right
+
+
 def shingle_hashes(data: bytes, k: int) -> np.ndarray:
     """Unique 64-bit hashes of all character k-grams of ``data``.
 

@@ -472,3 +472,125 @@ def shuffle_export_write(sf_dir: str, out_dir: str, n_shards: int = SHUFFLE_SHAR
         full, join_type="inner", num_partitions=_join_partitions(), on=("doc_id",)
     )
     joined.write_parquet(out_dir, partition_cols=["shard"])
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Data Selection via Importance Resampling,
+# arXiv:2302.03169): score every document by the log-likelihood ratio of a
+# hashed-n-gram multinomial fit on a TARGET slice vs the RAW corpus.  The
+# feature space is FIXED at DSIR_BUCKETS hashed buckets, so the learned
+# model is O(m) regardless of corpus size — the stats reduce and the
+# broadcast are scale-safe by construction (unlike a vocabulary model).
+#
+# Features = unigrams + bigrams of lower(text).split(' ') (the bm25/vocab
+# tokenization), hashed with the engine's rolling-polynomial + splitmix64
+# chain (functions/hashing.py) mod m.  Per-bucket log-ratios are quantized
+# to int64 e6 ONCE, and each document's weight is the INTEGER sum of its
+# features' quantized scores — order-independent on both engines (the
+# repo's quantize-before-sum convention), so the SQL oracle hash-matches.
+DSIR_BUCKETS = 1024
+DSIR_ALPHA = 1.0  # add-one smoothing per hashed bucket
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_features(t: pa.Table):
+    """(bucket ids, parent doc indices) of all unigram+bigram features of a
+    batch — one flatten, one length-grouped poly-hash pass, no Python loop
+    over tokens."""
+    from ..functions.hashing import (
+        _POLY_MULT,
+        poly_concat,
+        splitmix64,
+        token_poly_hashes,
+    )
+
+    low = pc.utf8_lower(t["text"])
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    toks = pc.split_pattern(low, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = token_poly_hashes(flat)
+    blen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    # bigram "w1 w2" via the concat property: H(w1+' ') = H(w1)*MULT + 32
+    if len(raw) > 1:
+        same = parent[:-1] == parent[1:]
+        left = raw[:-1] * _POLY_MULT + np.uint64(32)
+        big = poly_concat(left[same], raw[1:][same], blen[1:][same])
+        bparent = parent[:-1][same]
+    else:
+        big = np.zeros(0, np.uint64)
+        bparent = np.zeros(0, np.int64)
+    buckets = (
+        np.concatenate([splitmix64(raw.copy()), splitmix64(big)]) % np.uint64(DSIR_BUCKETS)
+    ).astype(np.int64)
+    return buckets, np.concatenate([parent, bparent])
+
+
+def dsir_weights(sf_dir: str) -> ray.data.Dataset:
+    """Two-pass DSIR: (1) per-batch partial bucket counts (combiner rows
+    <= m per block) -> one tiny grouped-sum exchange -> O(m) driver fold ->
+    broadcast of the m int64 quantized log-ratios; (2) scoring scan whose
+    per-doc weight is a bincount integer sum.  Documents are read twice —
+    DSIR is inherently two-pass — but content never crosses a shuffle."""
+    from ..stages.exchange import grouped_sum_exchange
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    m = DSIR_BUCKETS
+
+    def partials(t: pa.Table) -> pa.Table:
+        buckets, parent = _dsir_features(t)
+        tgt_doc = pc.equal(t["lang"], DSIR_TARGET_LANG).to_numpy(zero_copy_only=False)
+        cr = np.bincount(buckets, minlength=m)
+        ct = np.bincount(buckets[tgt_doc[parent]], minlength=m)
+        nz = np.nonzero(cr)[0]
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+                "cr": pa.array(cr[nz], pa.int64()),
+            }
+        )
+
+    stats = grouped_sum_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["b"],
+        sum_cols=["ct", "cr"],
+        num_partitions=4,
+        empty_schema=pa.schema(
+            [("b", pa.int64()), ("ct", pa.int64()), ("cr", pa.int64())]
+        ),
+    ).take_all()  # <= m rows at ANY corpus scale
+    ct = np.zeros(m, np.float64)
+    cr = np.zeros(m, np.float64)
+    for r in stats:
+        ct[r["b"]] = r["ct"]
+        cr[r["b"]] = r["cr"]
+    nt, nr = ct.sum(), cr.sum()
+    mfl = float(m)
+    # identical left-to-right float expression as the SQL oracle
+    lr = np.log(ct + DSIR_ALPHA) - np.log(nt + mfl) - np.log(cr + DSIR_ALPHA) + np.log(nr + mfl)
+    x = lr * 1e6
+    lr_e6 = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    ref = ray.put(lr_e6)
+
+    from .relational import _cached_get
+
+    def score(t: pa.Table) -> pa.Table:
+        lrv = _cached_get(ref)
+        buckets, parent = _dsir_features(t)
+        nd = len(t)
+        # int64 scores as float64 bincount weights: |sum| < 2^53, exact
+        w = np.bincount(parent, weights=lrv[buckets].astype(np.float64), minlength=nd)
+        nf = np.bincount(parent, minlength=nd)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_feats": pa.array(nf.astype(np.int64), pa.int64()),
+                "dsir_logratio_e6": pa.array(w.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

@@ -633,3 +633,133 @@ def test_kmeans_distributed_reduce_at_k64(ray_session, tmp_path):
     assert dist.shape == (k, dim)
     # bit-for-bit: int64 per-row quantization makes both sums exact
     assert (dist == replay).all()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+
+
+def test_token_poly_hashes_reference():
+    """token_poly_hashes equals the per-token byte-polynomial definition
+    (sum(byte * MULT^(L-1-j)) mod 2^64; '' -> 0) on mixed-length tokens,
+    for plain, sliced and chunked string arrays."""
+    from lasvdedup_ray.functions.hashing import _POLY_MULT, token_poly_hashes
+
+    toks = ["", "a", "table", "zz", "a much longer token here", " ", "a b"]
+
+    def ref(s: str) -> int:
+        z = 0
+        for b in s.encode():
+            z = (z * int(_POLY_MULT) + b) % (1 << 64)
+        return z
+
+    # NOTE ref above is Horner form == sum(byte*M^(L-1-j)): same polynomial
+    arr = pa.array(toks, pa.string())
+    got = token_poly_hashes(arr)
+    exp = np.array([ref(s) for s in toks], np.uint64)
+    assert (got == exp).all()
+    # zero-copy slice with non-zero offset
+    got_s = token_poly_hashes(arr.slice(2, 3))
+    assert (got_s == exp[2:5]).all()
+    # chunked + large_string
+    ch = pa.chunked_array([toks[:3], toks[3:]], pa.large_string())
+    assert (token_poly_hashes(ch) == exp).all()
+
+
+def test_poly_concat_property():
+    """H(a||b) reconstructed from part hashes equals hashing the joined
+    string directly — the bigram fast path never materializes 'w1 w2'."""
+    from lasvdedup_ray.functions.hashing import (
+        _POLY_MULT,
+        poly_concat,
+        token_poly_hashes,
+    )
+
+    w1 = ["agg", "", "key", "x"]
+    w2 = ["row", "scan", "", "yz"]
+    h1 = token_poly_hashes(pa.array(w1))
+    h2 = token_poly_hashes(pa.array(w2))
+    lens2 = np.array([len(w) for w in w2], np.int64)
+    left = h1 * _POLY_MULT + np.uint64(32)
+    got = poly_concat(left, h2, lens2)
+    joined = token_poly_hashes(pa.array([f"{a} {b}" for a, b in zip(w1, w2)]))
+    assert (got == joined).all()
+
+
+def test_dsir_weights_planted_signal(ray_session, tmp_path):
+    """Docs built from target-language vocabulary score higher than docs of
+    off-target vocabulary; repeated features add their quantized score
+    linearly (multiplicity, not distinct, semantics); n_feats counts
+    unigrams + bigrams."""
+    from lasvdedup_ray.pipelines.curation import dsir_weights
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta alpha beta",  # en vocab
+            "alpha beta alpha beta",  # same text, raw-only lang
+            "gamma delta gamma delta",  # off-target vocab
+            "alpha beta",
+        ],
+        "lang": ["en", "de", "de", "en"],
+        "source": ["s"] * 4,
+        "n_chars": [21, 21, 21, 10],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = dsir_weights(str(tmp_path)).to_pandas().set_index("doc_id")
+    # unigrams + bigrams: 4 tokens -> 4 + 3 = 7; 2 tokens -> 2 + 1 = 3
+    assert out.loc[0, "n_feats"] == 7
+    assert out.loc[3, "n_feats"] == 3
+    # same text => identical weight regardless of the doc's own lang
+    assert out.loc[0, "dsir_logratio_e6"] == out.loc[1, "dsir_logratio_e6"]
+    # en-vocab docs outrank the off-target doc
+    assert out.loc[0, "dsir_logratio_e6"] > out.loc[2, "dsir_logratio_e6"]
+
+
+def test_dsir_weights_matches_duckdb_oracle(ray_session, tmp_path):
+    """Engine vs the generated DuckDB oracle on a planted corpus (the
+    driver-gate comparison in miniature): same rows, integer-exact
+    weights."""
+    import duckdb
+
+    from lasvdedup_ray.pipelines.curation import dsir_weights
+
+    rng = np.random.default_rng(7)
+    vocab_en = ["table", "scan", "agg", "row", "key"]
+    vocab_de = ["und", "der", "das", "ein"]
+    texts, langs = [], []
+    for i in range(40):
+        lang = ["en", "de", "fr"][i % 3]
+        voc = vocab_en if lang == "en" else vocab_de
+        texts.append(" ".join(rng.choice(voc, size=int(rng.integers(1, 9)))))
+        langs.append(lang)
+    texts[5] = ""  # empty doc -> single empty-string unigram
+    texts[6] = "solo"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * 40),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = dsir_weights(str(tmp_path)).to_pandas()
+
+    import __ray_entry__ as entry_mod
+
+    sql = entry_mod.oracle_sql()["dsir_weights"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(sql).df()
+    assert len(got) == len(exp) == 40
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert (g["n_feats"].to_numpy() == e["n_feats"].to_numpy()).all()
+    assert (
+        g["dsir_logratio_e6"].to_numpy() == e["dsir_logratio_e6"].to_numpy()
+    ).all()
