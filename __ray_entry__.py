@@ -60,6 +60,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_index_neardup": textops.incremental_index_neardup,
         # NEW r5: DSIR data-selection importance weights
         "dsir_weights": curation.dsir_weights,
+        # NEW r5: CCNet-style hashed bigram-LM quality scoring
+        "lm_perplexity_docs": curation.lm_perplexity_docs,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -445,6 +447,81 @@ def _dsir_sql() -> str:
                CAST(sum(lr_e6) AS BIGINT) AS dsir_logratio_e6
         FROM feats JOIN fb USING (f) JOIN lrt USING (b)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _lm_perplexity_sql() -> str:
+    """Mirror of curation.lm_perplexity_docs (CCNet-style hashed bigram-LM
+    scoring): same tokenization and hash chain as _dsir_sql, counts taken
+    over the training-language slice only, the full 0..m-1 bucket domain
+    materialized so zero-count buckets quantize exactly like the engine's
+    dense vectors, and per-bigram quantized (q_pair - q_ctx) summed as
+    integers per document."""
+    from lasvdedup_ray.functions.hashing import _POLY_MULT
+    from lasvdedup_ray.pipelines.curation import LM_BUCKETS, LM_TRAIN_LANG
+
+    MAXP = 520
+    pows = ", ".join(
+        f"{pow(int(_POLY_MULT), e, _M64)}::HUGEINT" for e in range(MAXP)
+    )
+    m = LM_BUCKETS
+    return f"""
+        WITH tk AS (
+            SELECT doc_id, lang, string_split(lower(text), ' ') AS ts
+            FROM documents
+        ),
+        uni AS (SELECT doc_id, lang, unnest(ts) AS f FROM tk),
+        bi0 AS (SELECT doc_id, lang, ts,
+                       unnest(generate_series(1, len(ts) - 1)) AS i FROM tk),
+        bi AS (SELECT doc_id, lang, ts[i] AS ctx_f,
+                      ts[i] || ' ' || ts[i+1] AS pair_f FROM bi0),
+        uf AS (SELECT DISTINCT f FROM (
+                   SELECT f FROM uni
+                   UNION SELECT pair_f AS f FROM bi)),
+        pw AS (SELECT unnest(generate_series(0, {MAXP - 1})) AS e,
+                      unnest([{pows}]) AS p),
+        ufc AS (SELECT f, unnest(generate_series(1, length(f))) AS j
+                FROM uf WHERE length(f) > 0),
+        pr AS (SELECT f,
+                      sum(ord(substr(f, j::INTEGER, 1))::HUGEINT * pw.p)
+                          % {_M64} AS z
+               FROM ufc JOIN pw ON pw.e = length(ufc.f) - ufc.j GROUP BY f),
+        p0 AS (SELECT f, z FROM pr
+               UNION ALL SELECT f, 0::HUGEINT AS z FROM uf WHERE length(f) = 0),
+        {_sm64_ctes("p0", "f")},
+        fb AS (SELECT f, CAST(z % {m} AS BIGINT) AS b FROM smx),
+        dom AS (SELECT unnest(generate_series(0, {m - 1})) AS b),
+        ctx_cnt AS (
+            SELECT fb.b, count(*) AS c FROM uni JOIN fb USING (f)
+            WHERE lang = '{LM_TRAIN_LANG}' GROUP BY fb.b),
+        pair_cnt AS (
+            SELECT fb.b, count(*) AS c
+            FROM bi JOIN fb ON fb.f = bi.pair_f
+            WHERE lang = '{LM_TRAIN_LANG}' GROUP BY fb.b),
+        qc AS (SELECT dom.b,
+                      CAST(round(ln(CAST(coalesce(ctx_cnt.c, 0) AS DOUBLE)
+                                    + {float(m)}) * 1000000) AS BIGINT) AS q
+               FROM dom LEFT JOIN ctx_cnt USING (b)),
+        qp AS (SELECT dom.b,
+                      CAST(round(ln(CAST(coalesce(pair_cnt.c, 0) AS DOUBLE)
+                                    + 1.0) * 1000000) AS BIGINT) AS q
+               FROM dom LEFT JOIN pair_cnt USING (b)),
+        scored AS (
+            SELECT bi.doc_id, qp.q - qc.q AS lp
+            FROM bi
+            JOIN fb fc ON fc.f = bi.ctx_f
+            JOIN fb fp ON fp.f = bi.pair_f
+            JOIN qc ON qc.b = fc.b
+            JOIN qp ON qp.b = fp.b),
+        agg AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(lp) AS BIGINT) AS lm_logprob_e6
+            FROM scored GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(agg.n_bigrams, 0) AS n_bigrams,
+               coalesce(agg.lm_logprob_e6, 0) AS lm_logprob_e6
+        FROM documents d LEFT JOIN agg USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -1610,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats_docs": _repetition_sql(),
         "hash_sample_stratified": _hash_sample_sql(),
         "dsir_weights": _dsir_sql(),
+        "lm_perplexity_docs": _lm_perplexity_sql(),
         "pack_sequences": _pack_sql(),
         "quality_classifier_docs": _quality_classifier_sql(),
         "customers_without_orders": """

@@ -594,3 +594,121 @@ def dsir_weights(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Hashed bigram-LM quality scoring (the CCNet perplexity-filter shape,
+# arXiv:1911.00359): fit a bigram language model on the target-language
+# slice, score EVERY document by its total bigram log-probability.  Like
+# DSIR above, contexts and bigrams live in a FIXED m-bucket hashed space,
+# so the model is O(m) and the broadcast scale-safe; each bucket's two log
+# terms (ln(c_pair + 1) and ln(c_ctx + m)) are e6-quantized once, and a
+# document's score is the integer sum of (q_pair - q_ctx) over its bigrams
+# — order-independent, hash-exact vs the SQL oracle.
+LM_BUCKETS = 1024
+LM_TRAIN_LANG = "en"
+
+
+def _lm_buckets(t: pa.Table):
+    """Per-batch (ctx_bucket, pair_bucket, parent doc index) for every
+    adjacent token pair, plus (uni_bucket, parent) for every token —
+    the training statistics and scoring features of the hashed bigram LM."""
+    from ..functions.hashing import (
+        _POLY_MULT,
+        poly_concat,
+        splitmix64,
+        token_poly_hashes,
+    )
+
+    low = pc.utf8_lower(t["text"])
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    toks = pc.split_pattern(low, " ")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    raw = token_poly_hashes(flat)
+    blen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    uni_b = (splitmix64(raw.copy()) % np.uint64(LM_BUCKETS)).astype(np.int64)
+    if len(raw) > 1:
+        same = parent[:-1] == parent[1:]
+        left = raw[:-1] * _POLY_MULT + np.uint64(32)
+        pair_raw = poly_concat(left[same], raw[1:][same], blen[1:][same])
+        pair_b = (splitmix64(pair_raw) % np.uint64(LM_BUCKETS)).astype(np.int64)
+        ctx_b = uni_b[:-1][same]
+        bparent = parent[:-1][same]
+    else:
+        pair_b = np.zeros(0, np.int64)
+        ctx_b = np.zeros(0, np.int64)
+        bparent = np.zeros(0, np.int64)
+    return uni_b, parent, ctx_b, pair_b, bparent
+
+
+def lm_perplexity_docs(sf_dir: str) -> ray.data.Dataset:
+    """Two-pass hashed bigram LM: (1) training-slice bucket counts via
+    per-batch combiners + one tiny grouped-sum exchange (O(m) driver fold,
+    m-sized broadcast); (2) scoring scan — per-doc integer bincount sum of
+    quantized bigram log-probs.  Content never crosses a shuffle."""
+    from ..stages.exchange import grouped_sum_exchange
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    m = LM_BUCKETS
+
+    def partials(t: pa.Table) -> pa.Table:
+        uni_b, parent, ctx_b, pair_b, bparent = _lm_buckets(t)
+        train = pc.equal(t["lang"], LM_TRAIN_LANG).to_numpy(zero_copy_only=False)
+        c_ctx = np.bincount(uni_b[train[parent]], minlength=m)
+        c_pair = np.bincount(pair_b[train[bparent]], minlength=m)
+        nz = np.nonzero(c_ctx + c_pair)[0]
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "c_ctx": pa.array(c_ctx[nz], pa.int64()),
+                "c_pair": pa.array(c_pair[nz], pa.int64()),
+            }
+        )
+
+    stats = grouped_sum_exchange(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        keys=["b"],
+        sum_cols=["c_ctx", "c_pair"],
+        num_partitions=4,
+        empty_schema=pa.schema(
+            [("b", pa.int64()), ("c_ctx", pa.int64()), ("c_pair", pa.int64())]
+        ),
+    ).take_all()  # <= m rows at ANY corpus scale
+    c_ctx = np.zeros(m, np.float64)
+    c_pair = np.zeros(m, np.float64)
+    for r in stats:
+        c_ctx[r["b"]] = r["c_ctx"]
+        c_pair[r["b"]] = r["c_pair"]
+
+    def _q(x: np.ndarray) -> np.ndarray:
+        y = x * 1e6
+        return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+
+    # p(w|v) = (c_pair[b(v w)] + 1) / (c_ctx[b(v)] + m): the two log terms,
+    # quantized separately so scores are integer sums (SQL mirrors both)
+    q_pair = _q(np.log(c_pair + 1.0))
+    q_ctx = _q(np.log(c_ctx + float(m)))
+    ref = ray.put((q_pair, q_ctx))
+
+    from .relational import _cached_get
+
+    def score(t: pa.Table) -> pa.Table:
+        qp, qc = _cached_get(ref)
+        _, _, ctx_b, pair_b, bparent = _lm_buckets(t)
+        nd = len(t)
+        vals = (qp[pair_b] - qc[ctx_b]).astype(np.float64)  # |sum| < 2^53
+        s = np.bincount(bparent, weights=vals, minlength=nd)
+        nb = np.bincount(bparent, minlength=nd)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(nb.astype(np.int64), pa.int64()),
+                "lm_logprob_e6": pa.array(s.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

@@ -763,3 +763,77 @@ def test_dsir_weights_matches_duckdb_oracle(ray_session, tmp_path):
     assert (
         g["dsir_logratio_e6"].to_numpy() == e["dsir_logratio_e6"].to_numpy()
     ).all()
+
+
+# ---------------------------------------------------------------------------
+# Hashed bigram-LM scoring
+
+
+def test_lm_perplexity_planted_signal(ray_session, tmp_path):
+    """In-domain (training-vocab) docs score a higher total bigram
+    log-probability than out-of-domain docs; <=1-token docs have zero
+    bigrams and score exactly 0."""
+    from lasvdedup_ray.pipelines.curation import lm_perplexity_docs
+
+    rows = {
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "the cat sat the cat sat",  # training text (en)
+            "the cat sat",  # in-domain, scored
+            "xqz vwp klm",  # out-of-domain bigrams
+            "solo",  # one token -> no bigrams
+        ],
+        "lang": ["en", "fr", "fr", "fr"],
+        "source": ["s"] * 4,
+        "n_chars": [23, 11, 11, 4],
+    }
+    pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+    out = lm_perplexity_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[3, "n_bigrams"] == 0 and out.loc[3, "lm_logprob_e6"] == 0
+    assert out.loc[1, "n_bigrams"] == 2 and out.loc[2, "n_bigrams"] == 2
+    # per-bigram average: in-domain beats out-of-domain
+    assert out.loc[1, "lm_logprob_e6"] > out.loc[2, "lm_logprob_e6"]
+
+
+def test_lm_perplexity_matches_duckdb_oracle(ray_session, tmp_path):
+    """Engine vs the generated DuckDB oracle on a planted corpus: same
+    rows, integer-exact scores (incl. zero-bigram docs and bigram buckets
+    unseen in training)."""
+    import duckdb
+
+    from lasvdedup_ray.pipelines.curation import lm_perplexity_docs
+
+    rng = np.random.default_rng(11)
+    vocab = ["the", "cat", "sat", "on", "mat", "und", "der", "das"]
+    texts, langs = [], []
+    for i in range(30):
+        langs.append(["en", "de"][i % 2])
+        texts.append(" ".join(rng.choice(vocab, size=int(rng.integers(1, 10)))))
+    texts[4] = ""
+    texts[7] = "one"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(["s"] * 30),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = lm_perplexity_docs(str(tmp_path)).to_pandas()
+
+    import __ray_entry__ as entry_mod
+
+    sql = entry_mod.oracle_sql()["lm_perplexity_docs"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet')"
+    )
+    exp = con.execute(sql).df()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    e = exp.sort_values("doc_id").reset_index(drop=True)
+    assert len(g) == len(e) == 30
+    assert (g["n_bigrams"].to_numpy() == e["n_bigrams"].to_numpy()).all()
+    assert (g["lm_logprob_e6"].to_numpy() == e["lm_logprob_e6"].to_numpy()).all()
