@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": curation.dsir_weights,
         # NEW r5: CCNet-style hashed bigram-LM quality scoring
         "lm_perplexity_docs": curation.lm_perplexity_docs,
+        # NEW r5: exact cosine kNN graph over the embedding table
+        "knn_graph_embeddings": ann.knn_graph_embeddings,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -1990,6 +1992,24 @@ def oracle_sql() -> dict[str, str]:
                         * 1000000) AS BIGINT) AS variance_e6,
                    n_vecs
             FROM m ORDER BY label, dim
+        """,
+        "knn_graph_embeddings": """
+            WITH c AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       CAST(round(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])
+                       ) * 1000000) AS BIGINT) AS cosine_e6
+                FROM embeddings a CROSS JOIN embeddings b
+                WHERE a.vec_id <> b.vec_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id
+                ) AS rn FROM c
+            )
+            SELECT query_id, vec_id, cosine_e6 FROM r WHERE rn <= 3
+            ORDER BY query_id, vec_id
         """,
         "embedding_topk": """
             WITH q AS (

@@ -1056,3 +1056,168 @@ def semdedup_embeddings(
         .map_groups(prune, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def knn_graph_embeddings(
+    sf_dir: str,
+    k: int = 3,
+    broadcast_cap_bytes: int = ANN_PAIRS_BROADCAST_CAP_BYTES,
+) -> ray.data.Dataset:
+    """Exact cosine kNN graph: for EVERY vector, its ``k`` most-similar
+    other vectors (cosine desc, vec_id tie-break) — the all-points twin of
+    ``embedding_topk`` and the building block of dataset-map / SemDeDup /
+    recall-eval workflows.
+
+    Same size gate as ``embedding_neardup_pairs``: below the cap, one
+    full-matrix broadcast and a single scan emits each row's final top-k
+    directly.  Above it, sequential chunk passes emit per-chunk PARTIAL
+    top-k rows (k rows per query per chunk, the store holds one chunk at
+    a time), merged by one slim hash exchange on query_id.  The broadcast
+    side is sorted by vec_id so a stable argsort on the quantized
+    similarities breaks ties by vec_id ascending WITHOUT a per-row Python
+    loop.  Exact kNN is inherently O(n^2/chunk) compute — the IVF/LSH
+    twins are the corpus-scale approximate paths."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/embeddings.parquet"
+    pf = pq.ParquetFile(path)
+    n_rows = pf.metadata.num_rows
+    if n_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        )
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    dim = len(first["embedding"][0])
+    ds = read_parquet_clean(path, columns=["vec_id", "embedding"])
+
+    def make_partial(ref, per_chunk_k):
+        def partial(t: pa.Table) -> pa.Table:
+            all_ids, all_mat = ray.get(ref)  # sorted by vec_id ascending
+            vids = _ids(t["vec_id"])
+            bm = _list_matrix(t["embedding"])
+            nr = np.linalg.norm(bm, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            bm = bm / nr
+            cq = _q6(bm @ all_mat.T)  # (batch, chunk) micro-cosine
+            # self-mask: all_ids sorted -> searchsorted finds own column
+            pos = np.searchsorted(all_ids, vids)
+            hit = (pos < len(all_ids)) & (all_ids[np.minimum(pos, len(all_ids) - 1)] == vids)
+            cq[np.nonzero(hit)[0], pos[hit]] = np.iinfo(np.int64).min
+            # take k+1 so a masked self column can't eat a top-k slot,
+            # then re-trim per row after dropping it
+            kk = min(per_chunk_k + 1, cq.shape[1])
+            # stable argsort of -cq: ties keep column order = vec_id asc
+            order = np.argsort(-cq, axis=1, kind="stable")[:, :kk]
+            nb = cq.shape[0]
+            rows = np.repeat(np.arange(nb), kk)
+            cols = order.ravel()
+            sel = cq[rows, cols]
+            is_self = (sel == np.iinfo(np.int64).min).reshape(nb, kk)
+            drops_before = np.cumsum(is_self, axis=1) - is_self
+            rank = np.tile(np.arange(kk), nb).reshape(nb, kk) - drops_before
+            keep = (~is_self & (rank < per_chunk_k)).ravel()
+            return pa.table(
+                {
+                    "query_id": pa.array(vids[rows[keep]], pa.int64()),
+                    "vec_id": pa.array(all_ids[cols[keep]], pa.int64()),
+                    "cosine_e6": pa.array(sel[keep], pa.int64()),
+                }
+            )
+
+        return partial
+
+    est_bytes = n_rows * dim * 8
+    if est_bytes <= broadcast_cap_bytes:
+        ids, mat = _load_matrix(sf_dir)
+        order = np.argsort(ids)
+        ref = ray.put((ids[order], mat[order]))
+        return ds.map_batches(make_partial(ref, k), batch_format="pyarrow").sort(
+            ["query_id", "vec_id"]
+        )
+
+    # chunked path: row-sorted chunk passes (same one-chunk-at-a-time
+    # store discipline as embedding_neardup_pairs), then a final top-k
+    # merge per query over the k-per-chunk partials
+    from ..stages.exchange import hash_exchange
+    from ..state.unionfind import drop_empty_blocks
+
+    chunk_rows = max(1, broadcast_cap_bytes // (dim * 8))
+    passes = []
+    carry: list[pa.RecordBatch] = []
+    carry_n = 0
+
+    def flush(batches):
+        # sort the chunk by vec_id so the stable in-chunk argsort breaks
+        # ties vec_id-ascending; cross-chunk ties are value-resolved in
+        # merge_topk (per-chunk top-k under the same total order is
+        # union-safe for the global top-k)
+        t = pa.Table.from_batches(batches)
+        ids = _ids(t["vec_id"])
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = _list_matrix(t["embedding"])[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        ref = ray.put((ids, mat / norms))
+        part = ds.map_batches(make_partial(ref, k), batch_format="pyarrow").materialize()
+        part = drop_empty_blocks(part)
+        if part is not None:
+            passes.append(part)
+        del ref
+
+    for rb in pf.iter_batches(
+        batch_size=min(chunk_rows, 65536), columns=["vec_id", "embedding"]
+    ):
+        carry.append(rb)
+        carry_n += rb.num_rows
+        if carry_n >= chunk_rows:
+            flush(carry)
+            carry, carry_n = [], 0
+    if carry_n:
+        flush(carry)
+    union = passes[0] if len(passes) == 1 else passes[0].union(*passes[1:])
+
+    n_part = 16
+
+    def add_pkey(t: pa.Table) -> pa.Table:
+        q = t["query_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        from ..functions.hashing import splitmix64
+
+        pk = (splitmix64(q.copy()) % np.uint64(n_part)).astype(np.int32)
+        return t.append_column("pkey", pa.array(pk, pa.int32()))
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["pkey"])
+        q = _ids(t["query_id"])
+        v = _ids(t["vec_id"])
+        c = t["cosine_e6"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, -c, q))
+        qs, vs, cs = q[order], v[order], c[order]
+        # rank within query group, vectorized
+        grp_start = np.ones(len(qs), bool)
+        grp_start[1:] = qs[1:] != qs[:-1]
+        idx = np.arange(len(qs))
+        start_idx = np.maximum.accumulate(np.where(grp_start, idx, 0))
+        rank = idx - start_idx
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": pa.array(qs[keep], pa.int64()),
+                "vec_id": pa.array(vs[keep], pa.int64()),
+                "cosine_e6": pa.array(cs[keep], pa.int64()),
+            }
+        )
+
+    merged = hash_exchange(
+        union.map_batches(add_pkey, batch_format="pyarrow"),
+        "pkey",
+        n_part,
+        merge_topk,
+    )
+    return merged.sort(["query_id", "vec_id"])

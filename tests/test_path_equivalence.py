@@ -10,7 +10,9 @@ same clusters/classifications as the defaults.
 
 import dataclasses
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data
 
@@ -104,3 +106,67 @@ def test_embedding_neardup_pairs_chunked_matches_broadcast():
     pd.testing.assert_frame_equal(
         full.reset_index(drop=True), chunked.reset_index(drop=True)
     )
+
+
+def test_knn_graph_chunked_matches_broadcast():
+    """The kNN graph above the broadcast cap (sequential chunk passes +
+    query-keyed top-k merge) must emit IDENTICAL (query_id, vec_id,
+    cosine_e6) rows to the single-broadcast path, including ties resolved
+    across chunk boundaries."""
+    from lasvdedup_ray.pipelines.ann import knn_graph_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    full = knn_graph_embeddings(sf).to_pandas()
+    chunked = knn_graph_embeddings(sf, broadcast_cap_bytes=80 * 64 * 8).to_pandas()
+    assert len(full) > 0
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), chunked.reset_index(drop=True)
+    )
+
+
+def test_knn_graph_matches_numpy_reference(tmp_path):
+    """Engine kNN graph equals a brute-force numpy reference on a planted
+    table with an exact-duplicate vector pair (cosine 1.0 ties) and an
+    orthogonal vector (fewer-than-k neighborhood still emits k rows when
+    n-1 >= k)."""
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.ann import knn_graph_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(20, 8))
+    vecs[7] = vecs[3]  # exact duplicate -> cosine_e6 == 1e6 with tie-break
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(20), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * 20, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = knn_graph_embeddings(str(tmp_path), k=3).to_pandas()
+
+    m = np.array(
+        [np.asarray(r, np.float64) for r in t["embedding"].to_pylist()]
+    )
+    n = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = n @ n.T
+    q = np.where(cos * 1e6 >= 0, np.floor(cos * 1e6 + 0.5), np.ceil(cos * 1e6 - 0.5)).astype(
+        np.int64
+    )
+    exp_rows = []
+    for i in range(20):
+        cand = [(int(-q[i, j]), j) for j in range(20) if j != i]
+        for negq, j in sorted(cand)[:3]:
+            exp_rows.append((i, j, -negq))
+    exp = (
+        pd.DataFrame(exp_rows, columns=["query_id", "vec_id", "cosine_e6"])
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # the duplicate pair found each other at exactly 1e6
+    assert got.query("query_id == 3 and vec_id == 7")["cosine_e6"].iloc[0] == 1_000_000
