@@ -387,25 +387,53 @@ def _repetition_sql() -> str:
     """
 
 
+_STRPOLY_MAXP = 520  # feature byte lengths the oracle powers table covers
+
+
+def _strpoly_ctes(maxp: int = _STRPOLY_MAXP) -> str:
+    """Shared CTE chain hashing every distinct feature string in a prior
+    CTE ``uf(f)`` with the engine's byte-polynomial + splitmix64
+    (``token_poly_hashes`` parity; powers table generated from the SAME
+    _POLY_MULT): emits pw/ufc/pr/p0 and ends at ``smx(f, z)``.  A feature
+    longer than ``maxp`` bytes raises a loud DuckDB error() instead of
+    silently dropping its high-order terms (the engine kernel handles any
+    length)."""
+    from lasvdedup_ray.functions.hashing import _POLY_MULT
+
+    pows = ", ".join(
+        f"{pow(int(_POLY_MULT), e, _M64)}::HUGEINT" for e in range(maxp)
+    )
+    return f"""
+        pw AS (SELECT unnest(generate_series(0, {maxp - 1})) AS e,
+                      unnest([{pows}]) AS p),
+        ufc AS (SELECT f, unnest(generate_series(1,
+                    CASE WHEN length(f) > {maxp}
+                         THEN CAST(error('oracle powers table covers {maxp}B; feature longer') AS INTEGER)
+                         ELSE length(f) END)) AS j
+                FROM uf WHERE length(f) > 0),
+        pr AS (SELECT f,
+                      sum(ord(substr(f, j::INTEGER, 1))::HUGEINT * pw.p)
+                          % {_M64} AS z
+               FROM ufc JOIN pw ON pw.e = length(ufc.f) - ufc.j GROUP BY f),
+        p0 AS (SELECT f, z FROM pr
+               UNION ALL SELECT f, 0::HUGEINT AS z FROM uf WHERE length(f) = 0),
+        {_sm64_ctes("p0", "f")}"""
+
+
 def _dsir_sql() -> str:
     """Mirror of curation.dsir_weights (DSIR, arXiv:2302.03169): identical
     tokenization (string_split of lower(text) on ' '), identical
     unigram+bigram feature set, the engine's rolling-polynomial +
     splitmix64 hash chain rebuilt character-wise from the SAME constants
-    (powers table generated from _POLY_MULT), identical add-one smoothing
-    and float expression order, e6 quantization BEFORE the per-doc sum so
-    the document weights are integer-exact on both engines."""
-    from lasvdedup_ray.functions.hashing import _POLY_MULT
+    (via _strpoly_ctes), identical add-one smoothing and float expression
+    order, e6 quantization BEFORE the per-doc sum so the document weights
+    are integer-exact on both engines."""
     from lasvdedup_ray.pipelines.curation import (
         DSIR_ALPHA,
         DSIR_BUCKETS,
         DSIR_TARGET_LANG,
     )
 
-    MAXP = 520  # max feature byte length the powers table covers (oracle scale)
-    pows = ", ".join(
-        f"{pow(int(_POLY_MULT), e, _M64)}::HUGEINT" for e in range(MAXP)
-    )
     m, a = DSIR_BUCKETS, float(DSIR_ALPHA)
     return f"""
         WITH tk AS (
@@ -421,17 +449,7 @@ def _dsir_sql() -> str:
             UNION ALL SELECT doc_id, lang, f FROM bi
         ),
         uf AS (SELECT DISTINCT f FROM feats),
-        pw AS (SELECT unnest(generate_series(0, {MAXP - 1})) AS e,
-                      unnest([{pows}]) AS p),
-        ufc AS (SELECT f, unnest(generate_series(1, length(f))) AS j
-                FROM uf WHERE length(f) > 0),
-        pr AS (SELECT f,
-                      sum(ord(substr(f, j::INTEGER, 1))::HUGEINT * pw.p)
-                          % {_M64} AS z
-               FROM ufc JOIN pw ON pw.e = length(ufc.f) - ufc.j GROUP BY f),
-        p0 AS (SELECT f, z FROM pr
-               UNION ALL SELECT f, 0::HUGEINT AS z FROM uf WHERE length(f) = 0),
-        {_sm64_ctes("p0", "f")},
+        {_strpoly_ctes()},
         fb AS (SELECT f, CAST(z % {m} AS BIGINT) AS b FROM smx),
         cnt AS (SELECT b,
                        count(*) FILTER (WHERE lang = '{DSIR_TARGET_LANG}') AS ct,
@@ -459,13 +477,8 @@ def _lm_perplexity_sql() -> str:
     materialized so zero-count buckets quantize exactly like the engine's
     dense vectors, and per-bigram quantized (q_pair - q_ctx) summed as
     integers per document."""
-    from lasvdedup_ray.functions.hashing import _POLY_MULT
     from lasvdedup_ray.pipelines.curation import LM_BUCKETS, LM_TRAIN_LANG
 
-    MAXP = 520
-    pows = ", ".join(
-        f"{pow(int(_POLY_MULT), e, _M64)}::HUGEINT" for e in range(MAXP)
-    )
     m = LM_BUCKETS
     return f"""
         WITH tk AS (
@@ -480,17 +493,7 @@ def _lm_perplexity_sql() -> str:
         uf AS (SELECT DISTINCT f FROM (
                    SELECT f FROM uni
                    UNION SELECT pair_f AS f FROM bi)),
-        pw AS (SELECT unnest(generate_series(0, {MAXP - 1})) AS e,
-                      unnest([{pows}]) AS p),
-        ufc AS (SELECT f, unnest(generate_series(1, length(f))) AS j
-                FROM uf WHERE length(f) > 0),
-        pr AS (SELECT f,
-                      sum(ord(substr(f, j::INTEGER, 1))::HUGEINT * pw.p)
-                          % {_M64} AS z
-               FROM ufc JOIN pw ON pw.e = length(ufc.f) - ufc.j GROUP BY f),
-        p0 AS (SELECT f, z FROM pr
-               UNION ALL SELECT f, 0::HUGEINT AS z FROM uf WHERE length(f) = 0),
-        {_sm64_ctes("p0", "f")},
+        {_strpoly_ctes()},
         fb AS (SELECT f, CAST(z % {m} AS BIGINT) AS b FROM smx),
         dom AS (SELECT unnest(generate_series(0, {m - 1})) AS b),
         ctx_cnt AS (

@@ -138,6 +138,16 @@ def token_poly_hashes(flat) -> np.ndarray:
     return out
 
 
+def quantize_half_away(x: np.ndarray, scale: float = 1e6) -> np.ndarray:
+    """int64 ``round(x * scale)`` rounding half AWAY from zero — DuckDB's
+    ``round()`` semantics (np.round is half-to-even), the convention every
+    SQL-oracled float comparison in this repo quantizes under.  One shared
+    kernel so the engine/oracle rounding rule has a single source of
+    truth."""
+    s = np.asarray(x, np.float64) * scale
+    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+
+
 def poly_concat(h_left: np.ndarray, h_right: np.ndarray, right_len: np.ndarray) -> np.ndarray:
     """``token_poly_hashes`` of the byte concatenation left||right, from the
     parts' raw hashes: ``H(a||b) = H(a) * MULT^len(b) + H(b)  (mod 2^64)``.

@@ -87,10 +87,10 @@ def _binary_matrix(col: pa.Array | pa.ChunkedArray, dtype=np.float64) -> np.ndar
 
 
 def _q6(x: np.ndarray) -> np.ndarray:
-    """Quantize to micro-units, rounding half away from zero (= DuckDB
-    round; np.round is half-to-even)."""
-    s = x * 1e6
-    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+    """Quantize to micro-units (shared half-away-from-zero kernel)."""
+    from ..functions.hashing import quantize_half_away
+
+    return quantize_half_away(x, 1e6)
 
 
 def _quant6_mat(m: np.ndarray) -> np.ndarray:
@@ -660,9 +660,10 @@ _KMEANS_ROW_SCALE = 1_000_000_000
 
 
 def _q9_rows(m: np.ndarray) -> np.ndarray:
-    """e9 int64 grid of an L2-normalized matrix (half away from zero)."""
-    s = m * _KMEANS_ROW_SCALE
-    return np.where(s >= 0, np.floor(s + 0.5), np.ceil(s - 0.5)).astype(np.int64)
+    """e9 int64 grid of an L2-normalized matrix (shared kernel)."""
+    from ..functions.hashing import quantize_half_away
+
+    return quantize_half_away(m, float(_KMEANS_ROW_SCALE))
 
 
 def _kmeans_centroids_distributed(
@@ -1181,6 +1182,16 @@ def knn_graph_embeddings(
             carry, carry_n = [], 0
     if carry_n:
         flush(carry)
+    if not passes:  # e.g. a 1-row table: the self-mask drops every candidate
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine_e6": pa.array([], pa.int64()),
+                }
+            )
+        )
     union = passes[0] if len(passes) == 1 else passes[0].union(*passes[1:])
 
     n_part = 16

@@ -493,16 +493,18 @@ DSIR_ALPHA = 1.0  # add-one smoothing per hashed bucket
 DSIR_TARGET_LANG = "en"
 
 
-def _dsir_features(t: pa.Table):
-    """(bucket ids, parent doc indices) of all unigram+bigram features of a
-    batch — one flatten, one length-grouped poly-hash pass, no Python loop
-    over tokens."""
-    from ..functions.hashing import (
-        _POLY_MULT,
-        poly_concat,
-        splitmix64,
-        token_poly_hashes,
-    )
+def _hashed_token_stream(t: pa.Table):
+    """Shared DSIR/LM prologue — one flatten + one length-grouped poly-hash
+    pass, no Python loop over tokens.  Returns
+
+        (uni_raw, parent, big_raw, left_idx)
+
+    where ``uni_raw`` is the raw polynomial hash of every token of
+    lower(text).split(' '), ``parent`` its doc index, ``big_raw`` the raw
+    hash of every in-doc adjacent bigram "w1 w2" (via the concat identity
+    H(w1+' ') = H(w1)*MULT + 32 — pair strings never materialize), and
+    ``left_idx`` each bigram's left-token index into ``uni_raw``."""
+    from ..functions.hashing import _POLY_MULT, poly_concat, token_poly_hashes
 
     low = pc.utf8_lower(t["text"])
     if isinstance(low, pa.ChunkedArray):
@@ -512,19 +514,28 @@ def _dsir_features(t: pa.Table):
     parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     raw = token_poly_hashes(flat)
     blen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-    # bigram "w1 w2" via the concat property: H(w1+' ') = H(w1)*MULT + 32
     if len(raw) > 1:
         same = parent[:-1] == parent[1:]
-        left = raw[:-1] * _POLY_MULT + np.uint64(32)
-        big = poly_concat(left[same], raw[1:][same], blen[1:][same])
-        bparent = parent[:-1][same]
+        left_idx = np.nonzero(same)[0]
+        left = raw[left_idx] * _POLY_MULT + np.uint64(32)
+        big = poly_concat(left, raw[left_idx + 1], blen[left_idx + 1])
     else:
         big = np.zeros(0, np.uint64)
-        bparent = np.zeros(0, np.int64)
+        left_idx = np.zeros(0, np.int64)
+    return raw, parent, big, left_idx
+
+
+def _dsir_features(t: pa.Table):
+    """(bucket ids, parent doc indices) of all unigram+bigram features of a
+    batch."""
+    from ..functions.hashing import splitmix64
+
+    raw, parent, big, left_idx = _hashed_token_stream(t)
     buckets = (
-        np.concatenate([splitmix64(raw.copy()), splitmix64(big)]) % np.uint64(DSIR_BUCKETS)
+        np.concatenate([splitmix64(raw.copy()), splitmix64(big)])
+        % np.uint64(DSIR_BUCKETS)
     ).astype(np.int64)
-    return buckets, np.concatenate([parent, bparent])
+    return buckets, np.concatenate([parent, parent[left_idx]])
 
 
 def dsir_weights(sf_dir: str) -> ray.data.Dataset:
@@ -572,8 +583,9 @@ def dsir_weights(sf_dir: str) -> ray.data.Dataset:
     mfl = float(m)
     # identical left-to-right float expression as the SQL oracle
     lr = np.log(ct + DSIR_ALPHA) - np.log(nt + mfl) - np.log(cr + DSIR_ALPHA) + np.log(nr + mfl)
-    x = lr * 1e6
-    lr_e6 = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
+    from ..functions.hashing import quantize_half_away
+
+    lr_e6 = quantize_half_away(lr, 1e6)
     ref = ray.put(lr_e6)
 
     from .relational import _cached_get
@@ -613,34 +625,12 @@ def _lm_buckets(t: pa.Table):
     """Per-batch (ctx_bucket, pair_bucket, parent doc index) for every
     adjacent token pair, plus (uni_bucket, parent) for every token —
     the training statistics and scoring features of the hashed bigram LM."""
-    from ..functions.hashing import (
-        _POLY_MULT,
-        poly_concat,
-        splitmix64,
-        token_poly_hashes,
-    )
+    from ..functions.hashing import splitmix64
 
-    low = pc.utf8_lower(t["text"])
-    if isinstance(low, pa.ChunkedArray):
-        low = low.combine_chunks()
-    toks = pc.split_pattern(low, " ")
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    raw = token_poly_hashes(flat)
-    blen = pc.binary_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    raw, parent, big, left_idx = _hashed_token_stream(t)
     uni_b = (splitmix64(raw.copy()) % np.uint64(LM_BUCKETS)).astype(np.int64)
-    if len(raw) > 1:
-        same = parent[:-1] == parent[1:]
-        left = raw[:-1] * _POLY_MULT + np.uint64(32)
-        pair_raw = poly_concat(left[same], raw[1:][same], blen[1:][same])
-        pair_b = (splitmix64(pair_raw) % np.uint64(LM_BUCKETS)).astype(np.int64)
-        ctx_b = uni_b[:-1][same]
-        bparent = parent[:-1][same]
-    else:
-        pair_b = np.zeros(0, np.int64)
-        ctx_b = np.zeros(0, np.int64)
-        bparent = np.zeros(0, np.int64)
-    return uni_b, parent, ctx_b, pair_b, bparent
+    pair_b = (splitmix64(big) % np.uint64(LM_BUCKETS)).astype(np.int64)
+    return uni_b, parent, uni_b[left_idx], pair_b, parent[left_idx]
 
 
 def lm_perplexity_docs(sf_dir: str) -> ray.data.Dataset:
@@ -684,14 +674,12 @@ def lm_perplexity_docs(sf_dir: str) -> ray.data.Dataset:
         c_ctx[r["b"]] = r["c_ctx"]
         c_pair[r["b"]] = r["c_pair"]
 
-    def _q(x: np.ndarray) -> np.ndarray:
-        y = x * 1e6
-        return np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)).astype(np.int64)
+    from ..functions.hashing import quantize_half_away
 
     # p(w|v) = (c_pair[b(v w)] + 1) / (c_ctx[b(v)] + m): the two log terms,
     # quantized separately so scores are integer sums (SQL mirrors both)
-    q_pair = _q(np.log(c_pair + 1.0))
-    q_ctx = _q(np.log(c_ctx + float(m)))
+    q_pair = quantize_half_away(np.log(c_pair + 1.0), 1e6)
+    q_ctx = quantize_half_away(np.log(c_ctx + float(m)), 1e6)
     ref = ray.put((q_pair, q_ctx))
 
     from .relational import _cached_get

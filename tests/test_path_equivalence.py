@@ -170,3 +170,26 @@ def test_knn_graph_matches_numpy_reference(tmp_path):
     pd.testing.assert_frame_equal(got, exp)
     # the duplicate pair found each other at exactly 1e6
     assert got.query("query_id == 3 and vec_id == 7")["cosine_e6"].iloc[0] == 1_000_000
+
+
+def test_knn_graph_chunked_empty_passes(tmp_path):
+    """A 1-row table forced onto the chunked path (every chunk pass emits
+    zero rows after the self-mask) returns a typed empty result instead of
+    crashing on an empty pass list."""
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.ann import knn_graph_embeddings
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([1], pa.int64()),
+                "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    ds = knn_graph_embeddings(str(tmp_path), broadcast_cap_bytes=1)
+    assert ds.schema().names == ["query_id", "vec_id", "cosine_e6"]
+    assert ds.count() == 0
