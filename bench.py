@@ -201,6 +201,9 @@ def run_bench() -> dict:
         timed("bm25_topk", textops.bm25_topk)
         timed("purchase_click_window_join", windows.purchase_click_window_join)
         timed("hll_distinct_users", relational.hll_distinct_users)
+        timed("dsir_weights", curation.dsir_weights)
+        timed("lm_perplexity_docs", curation.lm_perplexity_docs)
+        timed("knn_graph_embeddings", ann.knn_graph_embeddings)
 
     result = {
         "metric": "flagship dedup wall time (synthetic source-code corpus)",
