@@ -233,3 +233,45 @@ def test_token_set_canonical_form_matches_python(ts):
     canon = [" ".join(ws) for ws in np.split(w, bounds)]
     expected = [" ".join(sorted(set(t.lower().split(" ")))) for t in ts]
     assert canon == expected
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts)
+def test_token_poly_hashes_matches_horner(ts):
+    """token_poly_hashes equals the per-string Horner-form byte polynomial
+    mod 2^64 for ANY printable-ASCII strings, across plain/sliced/chunked
+    and string/large_string layouts."""
+    from lasvdedup_ray.functions.hashing import _POLY_MULT, token_poly_hashes
+
+    def ref(s: str) -> int:
+        z = 0
+        for b in s.encode():
+            z = (z * int(_POLY_MULT) + b) % (1 << 64)
+        return z
+
+    exp = np.array([ref(s) for s in ts], np.uint64)
+    assert (token_poly_hashes(pa.array(ts, pa.string())) == exp).all()
+    assert (token_poly_hashes(pa.array(ts, pa.large_string())) == exp).all()
+    arr = pa.array(["pad"] + ts, pa.string()).slice(1)  # non-zero offset
+    assert (token_poly_hashes(arr) == exp).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(texts, texts)
+def test_poly_concat_matches_joined_hash(a, b):
+    """H(w1 + ' ' + w2) via the concat identity equals hashing the joined
+    string directly, for ANY string pairs (incl. empties)."""
+    from lasvdedup_ray.functions.hashing import (
+        _POLY_MULT,
+        poly_concat,
+        token_poly_hashes,
+    )
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    h1 = token_poly_hashes(pa.array(a, pa.string()))
+    h2 = token_poly_hashes(pa.array(b, pa.string()))
+    lens2 = np.array([len(w.encode()) for w in b], np.int64)
+    got = poly_concat(h1 * _POLY_MULT + np.uint64(32), h2, lens2)
+    exp = token_poly_hashes(pa.array([f"{x} {y}" for x, y in zip(a, b)]))
+    assert (got == exp).all()
