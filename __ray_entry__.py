@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_docs": curation.lm_perplexity_docs,
         # NEW r5: exact cosine kNN graph over the embedding table
         "knn_graph_embeddings": ann.knn_graph_embeddings,
+        # NEW r5: fixed-memory Bloom-filter decontamination
+        "bloom_decontam_docs": textops.bloom_decontam_docs,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -204,20 +206,22 @@ def _poly_sql(k: int, textcol: str) -> str:
     )
 
 
-def _sm64_ctes(src: str, carry: str) -> str:
+def _sm64_ctes(src: str, carry: str, tag: str = "") -> str:
     """splitmix64 as a CTE chain: ``src`` must expose columns ``{carry}, z``
-    (z = the raw polynomial hash); the final CTE ``smx`` yields the
-    finalized UBIGINT hash."""
+    (z = the raw polynomial hash); the final CTE ``smx{tag}`` yields the
+    finalized UBIGINT hash.  ``tag`` renames the chain's CTEs so a query
+    can apply the finalizer more than once (e.g. the Bloom oracle's
+    hash-then-position double chain)."""
     from lasvdedup_ray.functions.hashing import _MIX_M1, _MIX_M2
 
     return f"""
-        s0 AS (SELECT {carry}, (z + {_GOLD}::HUGEINT) % {_M64} AS z FROM {src}),
-        s1 AS (SELECT {carry}, {_xorshift_sql("z", 30)} AS z FROM s0),
-        s2 AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M1))} AS z FROM s1),
-        s3 AS (SELECT {carry}, {_xorshift_sql("z", 27)} AS z FROM s2),
-        s4 AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M2))} AS z FROM s3),
-        smx AS (SELECT {carry}, CAST({_xorshift_sql("z", 31)} AS UBIGINT) AS z
-                FROM s4)"""
+        s0{tag} AS (SELECT {carry}, (z + {_GOLD}::HUGEINT) % {_M64} AS z FROM {src}),
+        s1{tag} AS (SELECT {carry}, {_xorshift_sql("z", 30)} AS z FROM s0{tag}),
+        s2{tag} AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M1))} AS z FROM s1{tag}),
+        s3{tag} AS (SELECT {carry}, {_xorshift_sql("z", 27)} AS z FROM s2{tag}),
+        s4{tag} AS (SELECT {carry}, {_mul_sql("z", int(_MIX_M2))} AS z FROM s3{tag}),
+        smx{tag} AS (SELECT {carry}, CAST({_xorshift_sql("z", 31)} AS UBIGINT) AS z
+                FROM s4{tag})"""
 
 
 def _winnow_sql() -> str:
@@ -467,6 +471,65 @@ def _dsir_sql() -> str:
                CAST(sum(lr_e6) AS BIGINT) AS dsir_logratio_e6
         FROM feats JOIN fb USING (f) JOIN lrt USING (b)
         GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+def _bloom_decontam_sql() -> str:
+    """Mirror of textops.bloom_decontam_docs: the _doc_shingles codepoint
+    chain (length-seeded _SHINGLE_MULT fold + splitmix64 — DuckDB's ord()
+    and substr() are codepoint-based like the engine's UTF-32 windows),
+    then a SECOND splitmix chain (h + ki) for the k_hashes bit positions;
+    a probe shingle is flagged iff all its positions appear in the
+    benchmark slice's position set — the register-level-oracle convention,
+    so Bloom false positives match bit-for-bit."""
+    from lasvdedup_ray.pipelines.textops import (
+        _SHINGLE_MULT,
+        BLOOM_K_HASHES,
+        BLOOM_M_BITS,
+        DECONTAM_BENCH_DIVISOR,
+        SHINGLE_K,
+    )
+
+    k, m, kh = SHINGLE_K, BLOOM_M_BITS, BLOOM_K_HASHES
+    M = int(_SHINGLE_MULT)
+    seed = (k * pow(M, k, _M64)) % _M64
+    pows = [pow(M, k - 1 - j, _M64) for j in range(k)]
+    poly = " + ".join(
+        f"ord(substr(text, CAST(i+{j} AS INTEGER), 1))::HUGEINT * {pows[j]}::HUGEINT"
+        for j in range(k)
+    )
+    return f"""
+        WITH docs8 AS (
+            SELECT doc_id, text FROM documents WHERE length(text) >= {k}
+        ),
+        cut AS (SELECT count(*) // {DECONTAM_BENCH_DIVISOR} AS c FROM documents),
+        pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {k - 1})) AS i
+            FROM docs8
+        ),
+        p0 AS (SELECT doc_id, ({seed}::HUGEINT + {poly}) % {_M64} AS z FROM pos),
+        {_sm64_ctes("p0", "doc_id")},
+        hs AS (SELECT DISTINCT doc_id, z AS h FROM smx),
+        hp AS (SELECT doc_id, h, unnest(generate_series(0, {kh - 1})) AS ki
+               FROM hs),
+        p0b AS (SELECT doc_id, h, ki,
+                       (CAST(h AS HUGEINT) + ki) % {_M64} AS z FROM hp),
+        {_sm64_ctes("p0b", "doc_id, h, ki", tag="b")},
+        pp AS (SELECT doc_id, h, ki, CAST(z % {m} AS BIGINT) AS bpos FROM smxb),
+        bench_bits AS (
+            SELECT DISTINCT bpos FROM pp, cut WHERE doc_id < cut.c
+        ),
+        probe AS (SELECT doc_id, h, bpos FROM pp, cut WHERE doc_id >= cut.c),
+        fl AS (
+            SELECT p.doc_id, p.h, count(b.bpos) AS nhit
+            FROM probe p LEFT JOIN bench_bits b ON p.bpos = b.bpos
+            GROUP BY p.doc_id, p.h
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN nhit = {kh} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_flagged
+        FROM fl GROUP BY doc_id ORDER BY doc_id
     """
 
 
@@ -1693,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_stratified": _hash_sample_sql(),
         "dsir_weights": _dsir_sql(),
         "lm_perplexity_docs": _lm_perplexity_sql(),
+        "bloom_decontam_docs": _bloom_decontam_sql(),
         "pack_sequences": _pack_sql(),
         "quality_classifier_docs": _quality_classifier_sql(),
         "customers_without_orders": """

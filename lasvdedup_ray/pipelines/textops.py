@@ -1469,6 +1469,116 @@ def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
     return train.map_batches(overlap, batch_format="pyarrow").sort("doc_id")
 
 
+# Bloom-filter decontamination.  decontam_overlap above broadcasts the
+# EXACT benchmark shingle-hash set (documented small-eval assumption);
+# the Bloom variant is the fixed-memory path when the blocklist side is
+# large (the Dolma-style shape): the filter is m_bits regardless of
+# benchmark size, at a bounded false-positive rate
+# (1 - e^(-k*n/m))^k — conservative for decontamination (flags extra,
+# never misses).  Bit positions of a shingle hash h are
+# splitmix64((h + i) mod 2^64) % m_bits for i in 0..k_hashes-1, so the
+# filter is a pure function of the hashes and the SQL oracle replays the
+# membership test bit-for-bit (the register-level-oracle convention used
+# by hll_distinct_users).
+BLOOM_M_BITS = 1 << 20  # 128 KB broadcast; fp ~(n*k/m)^k — ~1e-5 at sf0.01
+BLOOM_K_HASHES = 4
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k_hashes: int) -> np.ndarray:
+    """(n, k_hashes) bit positions per hash."""
+    from ..functions.hashing import splitmix64
+
+    z = h[:, None] + np.arange(k_hashes, dtype=np.uint64)[None, :]
+    return (splitmix64(z.ravel()).reshape(z.shape) % np.uint64(m_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_decontam_docs(
+    sf_dir: str,
+    k: int = SHINGLE_K,
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K_HASHES,
+) -> ray.data.Dataset:
+    """Per training doc: how many of its distinct character k-gram hashes
+    the benchmark-slice Bloom filter flags (n_grams, n_flagged).
+
+    Build: benchmark docs -> per-batch distinct bit positions (<= m_bits
+    rows each) -> driver union bounded by m_bits -> one m_bits bool array
+    broadcast.  Probe: stateless membership scan, a doc's shingle is
+    flagged iff ALL k_hashes bits are set.  Docs shorter than ``k``
+    characters are skipped on BOTH engines (the whole-text blake2b
+    fallback of ``_doc_shingles`` is not SQL-expressible)."""
+    import ray
+
+    import pyarrow.dataset as pads
+
+    from .relational import _cached_get
+
+    path = f"{sf_dir}/documents.parquet"
+    n_docs = read_parquet_clean(path, columns=["doc_id"]).count()  # metadata
+    cut = n_docs // DECONTAM_BENCH_DIVISOR
+
+    def long_enough(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.utf8_length(t["text"]), k))
+
+    bench = read_parquet_clean(
+        path, columns=["doc_id", "text"], filter=pads.field("doc_id") < cut
+    ).map_batches(long_enough, batch_format="pyarrow")
+
+    def batch_positions(t: pa.Table) -> pa.Table:
+        s = _doc_shingles(t, k)
+        if s.num_rows == 0:
+            return pa.table({"p": pa.array([], pa.int64())})
+        h = s["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        p = np.unique(_bloom_positions(h, m_bits, k_hashes))
+        return pa.table({"p": pa.array(p, pa.int64())})
+
+    parts = [
+        b["p"].to_numpy(zero_copy_only=False)
+        for b in bench.map_batches(batch_positions, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    bits = np.zeros(m_bits, bool)
+    if parts:
+        bits[np.concatenate(parts)] = True
+    ref = ray.put(bits)
+
+    train = read_parquet_clean(
+        path, columns=["doc_id", "text"], filter=pads.field("doc_id") >= cut
+    ).map_batches(long_enough, batch_format="pyarrow")
+
+    EMPTY = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_flagged", pa.int64())]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        bb = _cached_get(ref)
+        s = _doc_shingles(t, k)
+        if s.num_rows == 0:
+            return EMPTY.empty_table()
+        h = s["shingle"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = s["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flagged = bb[_bloom_positions(h, m_bits, k_hashes)].all(axis=1)
+        uids = np.unique(ids)
+        n_grams = np.bincount(np.searchsorted(uids, ids), minlength=uids.size)
+        n_flag = np.bincount(
+            np.searchsorted(uids, ids), weights=flagged.astype(np.float64),
+            minlength=uids.size,
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_grams": pa.array(n_grams.astype(np.int64), pa.int64()),
+                "n_flagged": pa.array(n_flag.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return train.map_batches(probe, batch_format="pyarrow").sort("doc_id")
+
+
 def jaccard_cluster_docs(sf_dir: str, threshold: float = 0.5) -> ray.data.Dataset:
     """Exact-Jaccard single-linkage clustering: connected components of the
     >=threshold n-gram-Jaccard graph over ``documents``, labels = min doc_id

@@ -597,3 +597,47 @@ def test_tfidf_wide_vocab_partitioned_df(tmp_path):
         assert mine["tok"].str.startswith(f"tok_s{s}_").all()
         # deterministic token tie-break: lexicographically smallest first
         assert list(mine["tok"]) == sorted(mine["tok"])[:TFIDF_TOP_K]
+
+
+def test_bloom_decontam_never_misses(ray_session, tmp_path):
+    """Bloom decontamination is conservative: every TRUE benchmark-overlap
+    shingle is flagged (no false negatives by construction); a doc that is
+    a verbatim copy of a benchmark doc has all its grams flagged; docs
+    shorter than the shingle width are skipped on both engines."""
+    import pyarrow.parquet as pq
+
+    from lasvdedup_ray.pipelines.textops import (
+        bloom_decontam_docs,
+        decontam_overlap,
+    )
+
+    texts = {}
+    # doc_ids 0..9 land in the benchmark slice (cut = 20 // 10 = 2)
+    texts[0] = "the quick brown fox jumps over the lazy dog again and again"
+    texts[1] = "pack my box with five dozen liquor jugs for the contest"
+    # train docs
+    texts[2] = texts[0]  # verbatim benchmark copy -> all grams flagged
+    texts[3] = "completely different content zebra quartz mythic jungle"
+    texts[4] = "tiny"  # < 8 chars -> skipped
+    for i in range(5, 20):
+        texts[i] = f"unique filler text number {i} with enough length to shingle"
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)]),
+            "lang": pa.array(["en"] * 20),
+            "source": pa.array(["s"] * 20),
+            "n_chars": pa.array([len(texts[i]) for i in sorted(texts)], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    bloom = bloom_decontam_docs(str(tmp_path)).to_pandas().set_index("doc_id")
+    exact = decontam_overlap(str(tmp_path)).to_pandas().set_index("doc_id")
+
+    assert 4 not in bloom.index  # sub-shingle-width doc skipped
+    # verbatim copy: every distinct gram flagged
+    assert bloom.loc[2, "n_flagged"] == bloom.loc[2, "n_grams"]
+    # conservativeness: flagged >= exact overlap for every probed doc
+    for did, row in exact.iterrows():
+        if did in bloom.index:
+            assert bloom.loc[did, "n_flagged"] >= row["n_overlap"], did
