@@ -837,3 +837,25 @@ def test_lm_perplexity_matches_duckdb_oracle(ray_session, tmp_path):
     assert len(g) == len(e) == 30
     assert (g["n_bigrams"].to_numpy() == e["n_bigrams"].to_numpy()).all()
     assert (g["lm_logprob_e6"].to_numpy() == e["lm_logprob_e6"].to_numpy()).all()
+
+
+def test_new_ops_empty_documents_table(ray_session, tmp_path):
+    """dsir_weights / lm_perplexity_docs / bloom_decontam_docs all return
+    zero rows (not crash) on an empty documents table — the stats passes
+    produce all-zero models and the scoring scans never run."""
+    from lasvdedup_ray.pipelines.curation import dsir_weights, lm_perplexity_docs
+    from lasvdedup_ray.pipelines.textops import bloom_decontam_docs
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(empty, str(tmp_path / "documents.parquet"))
+    assert dsir_weights(str(tmp_path)).count() == 0
+    assert lm_perplexity_docs(str(tmp_path)).count() == 0
+    assert bloom_decontam_docs(str(tmp_path)).count() == 0
