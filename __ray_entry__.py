@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph_embeddings": ann.knn_graph_embeddings,
         # NEW r5: fixed-memory Bloom-filter decontamination
         "bloom_decontam_docs": textops.bloom_decontam_docs,
+        # NEW r5: dedup report (cluster-size histogram of the flagship)
+        "dedup_cluster_stats": docdedup.dedup_cluster_stats,
         # similarity search + media + decontam + spans (r4 green)
         "embedding_topk": ann.embedding_topk,
         "embedding_topk_ivf": ann.embedding_topk_ivf,
@@ -2118,6 +2120,15 @@ def oracle_sql() -> dict[str, str]:
         # non-case-2 cluster has <= min_neighborhood members, as at the
         # driver's scales; Case 4/5 clusters would need MAD in SQL).
         "minhash_dedup_docs": _minhash_dedup_sql(),
+        # dedup report: cluster-size histogram over the SAME flagship chain
+        "dedup_cluster_stats": f"""
+            SELECT cluster_size, count(*) AS n_clusters,
+                   CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+            FROM (
+                SELECT cluster_id, count(*) AS cluster_size
+                FROM ({_minhash_dedup_sql()}) GROUP BY cluster_id
+            ) GROUP BY cluster_size ORDER BY cluster_size
+        """,
         # same chain, quality-ranked representative (rank-table side path)
         "minhash_dedup_best_quality": _minhash_dedup_sql(quality_rank=True),
         # true LCS per near-dup pair, in pure SQL: character-match

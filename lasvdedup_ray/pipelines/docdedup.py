@@ -134,3 +134,60 @@ def minhash_dedup_best_quality(
         )
 
     return res.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_cluster_stats(
+    sf_dir: str, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Dedup REPORT over the flagship clustering: the cluster-size
+    histogram (cluster_size, n_clusters, n_docs) — the first artifact a
+    100 TB dedup run is judged by (how much collapsed, at what cluster
+    granularity).  Built from two combiner-bounded grouped-sum exchanges
+    on top of ``minhash_dedup_docs``: per-batch partial counts per
+    cluster_id, then per-size cluster counts — no row-level shuffle beyond
+    what the flagship itself does."""
+    from ..stages.exchange import grouped_sum_exchange
+
+    base = minhash_dedup_docs(sf_dir, num_partitions=num_partitions)
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        g = t.select(["cluster_id"]).group_by(["cluster_id"]).aggregate(
+            [("cluster_id", "count")]
+        )
+        return pa.table(
+            {"cluster_id": g["cluster_id"], "n": g["cluster_id_count"]}
+        )
+
+    sizes = grouped_sum_exchange(
+        base.map_batches(per_cluster, batch_format="pyarrow"),
+        keys=["cluster_id"],
+        sum_cols=["n"],
+        num_partitions=4,
+        empty_schema=pa.schema([("cluster_id", pa.string()), ("n", pa.int64())]),
+    )
+
+    def per_size(t: pa.Table) -> pa.Table:
+        g = t.select(["n"]).group_by(["n"]).aggregate([("n", "count")])
+        return pa.table(
+            {
+                "cluster_size": pc.cast(g["n"], pa.int64()),
+                "n_clusters": pc.cast(g["n_count"], pa.int64()),
+            }
+        )
+
+    hist = grouped_sum_exchange(
+        sizes.map_batches(per_size, batch_format="pyarrow"),
+        keys=["cluster_size"],
+        sum_cols=["n_clusters"],
+        num_partitions=2,
+        empty_schema=pa.schema(
+            [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+        ),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs", pc.multiply(t["cluster_size"], t["n_clusters"])
+        )
+
+    return hist.map_batches(finish, batch_format="pyarrow").sort("cluster_size")

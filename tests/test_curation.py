@@ -859,3 +859,23 @@ def test_new_ops_empty_documents_table(ray_session, tmp_path):
     assert dsir_weights(str(tmp_path)).count() == 0
     assert lm_perplexity_docs(str(tmp_path)).count() == 0
     assert bloom_decontam_docs(str(tmp_path)).count() == 0
+
+
+def test_dedup_cluster_stats_consistent_with_flagship(ray_session):
+    """The cluster-size histogram partitions the corpus: sum(n_docs) ==
+    total docs, and it equals a pandas groupby over the flagship per-doc
+    output."""
+    from lasvdedup_ray.pipelines.docdedup import (
+        dedup_cluster_stats,
+        minhash_dedup_docs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    hist = dedup_cluster_stats(sf).to_pandas()
+    base = minhash_dedup_docs(sf).to_pandas()
+    assert hist["n_docs"].sum() == len(base)
+    ref = (
+        base.groupby("cluster_id").size().value_counts().sort_index()
+    )
+    got = hist.set_index("cluster_size")["n_clusters"]
+    assert (got.sort_index() == ref).all()
