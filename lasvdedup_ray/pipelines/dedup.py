@@ -246,14 +246,18 @@ def dedup_pipeline(
                 # the zero-distance star edges (two separate groupbys before r3)
                 from ..stages.exact import exact_collapse, fused_edges, fused_reps
 
+                from .._phaselog import mark as _plmark2
+
                 fused = ck.pin(
                     exact_collapse(
                         signed.select_columns(["id", "sha_hex", "minhash", "simhash"])
                     ),
                     "reps",
                 )
+                _plmark2("exact:fused_pin")
                 reps_slim = fused_reps(fused)
                 n_reps = reps_slim.count()  # cheap filter pass over pinned fused
+                _plmark2("exact:n_reps_count")
                 e_edges = fused_edges(fused)
                 _phase("exact_collapse")
             near_edges = verify_pairs(
