@@ -44,12 +44,13 @@ def documents_as_source(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(proj, batch_format="pyarrow")
 
 
-def minhash_dedup_docs(
+def _minhash_dedup_base(
     sf_dir: str, config: Optional[PipelineConfig] = None, num_partitions: int = 8
 ) -> ray.data.Dataset:
-    """Flagship near-dup clustering on documents; returns one row per doc
-    (doc_id, cluster_id, classification, decision_category,
-    is_representative, rank) sorted by doc_id."""
+    """Flagship near-dup clustering on documents, UNSORTED — one row per
+    doc (doc_id, cluster_id, classification, decision_category,
+    is_representative, rank).  Order-insensitive consumers (the cluster
+    histogram) use this directly and skip the final range shuffle."""
     res = dedup_pipeline(documents_as_source(sf_dir), config, num_partitions=num_partitions)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -67,7 +68,16 @@ def minhash_dedup_docs(
             }
         )
 
-    return res.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+    return res.map_batches(finish, batch_format="pyarrow")
+
+
+def minhash_dedup_docs(
+    sf_dir: str, config: Optional[PipelineConfig] = None, num_partitions: int = 8
+) -> ray.data.Dataset:
+    """Flagship near-dup clustering on documents; returns one row per doc
+    (doc_id, cluster_id, classification, decision_category,
+    is_representative, rank) sorted by doc_id."""
+    return _minhash_dedup_base(sf_dir, config, num_partitions).sort("doc_id")
 
 
 def minhash_dedup_best_quality(
@@ -143,12 +153,14 @@ def dedup_cluster_stats(
     histogram (cluster_size, n_clusters, n_docs) — the first artifact a
     100 TB dedup run is judged by (how much collapsed, at what cluster
     granularity).  Built from two combiner-bounded grouped-sum exchanges
-    on top of ``minhash_dedup_docs``: per-batch partial counts per
-    cluster_id, then per-size cluster counts — no row-level shuffle beyond
-    what the flagship itself does."""
+    on top of the UNSORTED flagship output (the histogram is
+    order-insensitive, so the per-doc table's final doc_id range shuffle
+    is skipped): per-batch partial counts per cluster_id, then per-size
+    cluster counts — no row-level shuffle beyond what the flagship itself
+    does."""
     from ..stages.exchange import grouped_sum_exchange
 
-    base = minhash_dedup_docs(sf_dir, num_partitions=num_partitions)
+    base = _minhash_dedup_base(sf_dir, num_partitions=num_partitions)
 
     def per_cluster(t: pa.Table) -> pa.Table:
         g = t.select(["cluster_id"]).group_by(["cluster_id"]).aggregate(

@@ -1480,7 +1480,7 @@ def decontam_overlap(sf_dir: str, k: int = SHINGLE_K) -> ray.data.Dataset:
 # filter is a pure function of the hashes and the SQL oracle replays the
 # membership test bit-for-bit (the register-level-oracle convention used
 # by hll_distinct_users).
-BLOOM_M_BITS = 1 << 20  # 128 KB broadcast; fp ~(n*k/m)^k — ~1e-5 at sf0.01
+BLOOM_M_BITS = 1 << 20  # 1 MB broadcast (bool array, 1 B/bit); fp ~(n*k/m)^k
 BLOOM_K_HASHES = 4
 
 
@@ -1507,8 +1507,10 @@ def bloom_decontam_docs(
     rows each) -> driver union bounded by m_bits -> one m_bits bool array
     broadcast.  Probe: stateless membership scan, a doc's shingle is
     flagged iff ALL k_hashes bits are set.  Docs shorter than ``k``
-    characters are skipped on BOTH engines (the whole-text blake2b
-    fallback of ``_doc_shingles`` is not SQL-expressible)."""
+    characters are skipped on BOTH engines: ``_doc_shingles`` hashes a
+    short doc as one whole-text window, whose VARIABLE width would need a
+    per-length powers join in the SQL mirror — excluded instead, matching
+    the engine's explicit length filter."""
     import ray
 
     import pyarrow.dataset as pads

@@ -612,7 +612,7 @@ def test_bloom_decontam_never_misses(ray_session, tmp_path):
     )
 
     texts = {}
-    # doc_ids 0..9 land in the benchmark slice (cut = 20 // 10 = 2)
+    # benchmark slice = doc_ids 0..1 (cut = 20 // 10 = 2)
     texts[0] = "the quick brown fox jumps over the lazy dog again and again"
     texts[1] = "pack my box with five dozen liquor jugs for the contest"
     # train docs
